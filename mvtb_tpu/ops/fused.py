@@ -1,0 +1,234 @@
+"""Fused on-device k-space stylization: one FFT -> everything -> one iFFT.
+
+The reference applies each corruption as its own CPU-side FFT round trip in
+dataloader workers (pipeline order Gibbs -> planes -> wrap -> salt&pepper,
+e.g. ``10_scripts/127_.../stylized_gibbs12p5_spikes15_wrap0p5_sap0p05_FLAIR.py:138-141``).
+Here the whole stack runs on the TPU inside the train step with a *single*
+forward/inverse FFT pair per volume: radial masks are generated on the fly
+from ``broadcasted_iota`` (never materialized in HBM), wrap weights and
+magnitude-domain edits fuse into the same elementwise pass, and salt&pepper
+runs in the image domain after the inverse FFT. Between the two FFTs the
+volume makes exactly one HBM round trip.
+
+Semantics note: the reference's sequential version projects to the real part
+between corruptions; the fused path stays complex until the final iFFT. For
+bit-parity with the reference use the per-op functions in
+:mod:`mvtb_tpu.ops.corruptions` (the transform API does). The fused path is
+the production augmentation engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from mvtb_tpu.ops.fourier import fft_shifted, from_polar, ifft_shifted_real
+from mvtb_tpu.ops.masks import _dist_sq_grid, ellipsoid_shell_mask
+
+Array = jnp.ndarray
+ParamSpec = Union[float, Tuple[float, float]]  # fixed value or U[lo,hi] range
+
+
+@dataclasses.dataclass(frozen=True)
+class StylizeConfig:
+    """Static configuration of the fused corruption stack.
+
+    Every stage is optional (None disables it, statically). A ``ParamSpec``
+    is either a fixed float or a ``(lo, hi)`` tuple sampled uniformly per
+    call. ``*_prob`` gates each stage per call with a Bernoulli draw (as the
+    reference's ``RandomizableTransform`` prob does per sample).
+    """
+
+    n_dims: int = 3
+    # Gibbs via GibbsNoise convention: alpha in [0,1], radius (1-a)*max*sqrt2/2
+    gibbs_alpha: Optional[ParamSpec] = None
+    gibbs_prob: float = 1.0
+    # Gibbs via RandFourierDiskMaskd convention: explicit radius
+    disk_r: Optional[ParamSpec] = None
+    disk_inside_off: bool = False
+    disk_prob: float = 1.0
+    # Wraparound
+    wrap_alpha: Optional[ParamSpec] = None
+    wrap_prob: float = 1.0
+    # k-space spikes (None range -> data-dependent default 0.95x..1.10x mean)
+    spike: bool = False
+    spike_range: Optional[Tuple[float, float]] = None
+    spike_channel_wise: bool = True
+    spike_prob: float = 1.0
+    # Plane wave on an ellipsoid shell: (a, b, c) semi-axes + log-intensity
+    plane_axes: Optional[Tuple[float, float, float]] = None
+    plane_intensity: float = 1.0
+    plane_prob: float = 1.0
+    # Random zero-fill in k-space
+    zf_p: Optional[float] = None
+    zf_prob: float = 1.0
+    # Image-domain salt & pepper
+    sap_p: Optional[ParamSpec] = None
+    sap_prob: float = 1.0
+
+    @property
+    def any_enabled(self) -> bool:
+        return any(
+            v is not None
+            for v in (self.gibbs_alpha, self.disk_r, self.wrap_alpha,
+                      self.plane_axes, self.zf_p, self.sap_p)
+        ) or self.spike
+
+
+def _sample(key: jax.Array, spec: ParamSpec, dtype) -> Array:
+    if isinstance(spec, tuple):
+        return jax.random.uniform(key, (), dtype, spec[0], spec[1])
+    return jnp.asarray(spec, dtype)
+
+
+def _gate(key: jax.Array, prob: float) -> Array:
+    if prob >= 1.0:
+        return jnp.asarray(True)
+    return jax.random.bernoulli(key, prob)
+
+
+def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
+    """Apply the configured corruption stack to one channel-first volume.
+
+    Args:
+        x: ``(C, *spatial)`` real array, ``len(spatial) == cfg.n_dims``.
+        key: PRNG key consumed by all random stages of this call.
+        cfg: static stage configuration.
+
+    Returns:
+        Corrupted volume, same shape/dtype as ``x``.
+    """
+    nd = cfg.n_dims
+    if x.ndim != nd + 1:
+        raise ValueError(f"expected (C, *spatial) with {nd} spatial dims, got {x.shape}")
+    if not cfg.any_enabled:
+        return x
+
+    spatial = x.shape[1:]
+    C = x.shape[0]
+    rdtype = jnp.zeros((), x.dtype).real.dtype
+    keys = jax.random.split(key, 16)
+    kit = iter(keys)
+
+    kspace_needed = (
+        cfg.gibbs_alpha is not None or cfg.disk_r is not None
+        or cfg.wrap_alpha is not None or cfg.spike
+        or cfg.plane_axes is not None or cfg.zf_p is not None
+    )
+
+    out = x
+    if kspace_needed:
+        k = fft_shifted(x, nd)
+
+        # ---- radial masks: generated on the fly, fused into the multiply ----
+        weight = None  # lazy (C-broadcastable) multiplicative weight on k
+        if cfg.gibbs_alpha is not None or cfg.disk_r is not None:
+            if cfg.gibbs_alpha is not None:
+                center = [(n - 1) / 2 for n in spatial]
+                dist_sq = _dist_sq_grid(spatial, center)
+                alpha = _sample(next(kit), cfg.gibbs_alpha, rdtype)
+                r = (1.0 - alpha) * max(spatial) * jnp.sqrt(jnp.asarray(2.0, rdtype)) / 2.0
+                m = (dist_sq <= r * r).astype(rdtype)
+                g = _gate(next(kit), cfg.gibbs_prob)
+                weight = jnp.where(g, m, jnp.ones((), rdtype))
+            if cfg.disk_r is not None:
+                center = [n // 2 for n in spatial]
+                dist_sq = _dist_sq_grid(spatial, center)
+                r = _sample(next(kit), cfg.disk_r, rdtype)
+                inside = dist_sq < r * r
+                m = (jnp.logical_not(inside) if cfg.disk_inside_off else inside).astype(rdtype)
+                g = _gate(next(kit), cfg.disk_prob)
+                m = jnp.where(g, m, jnp.ones((), rdtype))
+                weight = m if weight is None else weight * m
+
+        # ---- wraparound: outer product of per-axis odd-line weights ----
+        if cfg.wrap_alpha is not None:
+            alpha = _sample(next(kit), cfg.wrap_alpha, rdtype)
+            g = _gate(next(kit), cfg.wrap_prob)
+            alpha = jnp.where(g, alpha, jnp.ones((), rdtype))
+            for d in range(nd):
+                n = spatial[d]
+                parity = jax.lax.broadcasted_iota(jnp.int32, spatial, d) % 2
+                w = jnp.where(parity == 1, alpha, jnp.ones((), rdtype))
+                weight = w if weight is None else weight * w
+
+        if weight is not None:
+            k = k * weight  # single fused elementwise pass over k
+
+        # ---- zero-fill ----
+        if cfg.zf_p is not None:
+            u = jax.random.uniform(next(kit), k.shape, rdtype)
+            g = _gate(next(kit), cfg.zf_prob)
+            keep = jnp.logical_or(u > cfg.zf_p, jnp.logical_not(g))
+            k = k * keep.astype(rdtype)
+
+        # ---- magnitude-domain edits (spikes / plane waves) ----
+        if cfg.spike or cfg.plane_axes is not None:
+            log_abs = jnp.log(jnp.abs(k) + 1e-10)
+            phase = jnp.angle(k)
+
+            if cfg.spike:
+                if cfg.spike_range is None:
+                    means = jnp.mean(log_abs, axis=tuple(range(-nd, 0)))
+                    lo, hi = means * 0.95, means * 1.10
+                else:
+                    lo = jnp.full((C,), cfg.spike_range[0], rdtype)
+                    hi = jnp.full((C,), cfg.spike_range[1], rdtype)
+                loc_keys = jax.random.split(next(kit), nd)
+                if cfg.spike_channel_wise:
+                    locs = tuple(
+                        jax.random.randint(loc_keys[d], (C,), 0, spatial[d])
+                        for d in range(nd)
+                    )
+                    vals = lo + (hi - lo) * jax.random.uniform(next(kit), (C,), rdtype)
+                    gates = jax.random.bernoulli(next(kit), cfg.spike_prob, (C,))
+                    idx = (jnp.arange(C),) + locs
+                    vals = jnp.where(gates, vals, log_abs[idx])
+                else:
+                    locs = tuple(
+                        jnp.full((C,), jax.random.randint(loc_keys[d], (), 0, spatial[d]))
+                        for d in range(nd)
+                    )
+                    u = jax.random.uniform(next(kit), (), rdtype)
+                    vals = lo + (hi - lo) * u
+                    g = _gate(next(kit), cfg.spike_prob)
+                    idx = (jnp.arange(C),) + locs
+                    vals = jnp.where(g, vals, log_abs[idx])
+                log_abs = log_abs.at[idx].set(vals)
+
+            if cfg.plane_axes is not None:
+                a, b, c = cfg.plane_axes
+                shell = jnp.asarray(ellipsoid_shell_mask(spatial, a, b, c).ravel())
+                logits = jnp.where(shell, 0.0, -jnp.inf)
+                flat = jax.random.categorical(next(kit), logits)
+                loc = jnp.unravel_index(flat, spatial)
+                idx = (slice(None),) + tuple(loc)
+                g = _gate(next(kit), cfg.plane_prob)
+                val = jnp.where(g, jnp.asarray(cfg.plane_intensity, rdtype), log_abs[idx])
+                log_abs = log_abs.at[idx].set(val)
+
+            k = from_polar(jnp.exp(log_abs), phase)
+
+        out = ifft_shifted_real(k, nd).astype(x.dtype)
+
+    # ---- image-domain salt & pepper ----
+    if cfg.sap_p is not None:
+        p = _sample(next(kit), cfg.sap_p, rdtype)
+        g = _gate(next(kit), cfg.sap_prob)
+        p = jnp.where(g, p, jnp.zeros((), rdtype))
+        u = jax.random.uniform(next(kit), out.shape, rdtype)
+        lo = out.min() / 2
+        hi = out.max() / 2
+        styled = jnp.where(u <= p / 2, lo, out)
+        out = jnp.where((u > p / 2) & (u <= p), hi, styled)
+
+    return out
+
+
+def stylize_batch(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
+    """vmap of :func:`stylize_kspace` over a leading batch axis."""
+    keys = jax.random.split(key, x.shape[0])
+    return jax.vmap(stylize_kspace, in_axes=(0, 0, None))(x, keys, cfg)
