@@ -1,0 +1,125 @@
+"""Headline benchmark: fused 3D k-space augmentation throughput.
+
+Measures BASELINE.json config #3 — the full textural-stylization stack
+(Gibbs disk mask + plane-wave spike + per-channel k-space spikes +
+wraparound + salt&pepper) applied to 4-channel 240x240x155 BraTS-shaped
+volumes:
+
+* TPU path: ``mvtb_tpu.ops.fused.stylize_batch`` — one jitted program, one
+  FFT->elementwise->iFFT round trip per volume, masks generated on the fly.
+* CPU reference: the reference's own architecture — sequential per-corruption
+  FFT round trips in torch on the host (as its MONAI transforms run in
+  dataloader workers; see SURVEY.md section 3.2) — timed on this machine.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": V, "unit": "volumes/sec/chip", "vs_baseline": R}``
+where R = TPU volumes/sec divided by CPU-reference volumes/sec (target >= 5).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+SPATIAL = (240, 240, 155)
+CHANNELS = 4
+BATCH = 2
+TPU_ITERS = 8
+CPU_ITERS = 1
+
+
+def _tpu_throughput() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from mvtb_tpu.ops.fused import StylizeConfig, stylize_batch
+
+    cfg = StylizeConfig(
+        disk_r=(10.0, 25.0),
+        plane_axes=(55.0, 55.0, 30.0), plane_intensity=14.0,
+        spike=True, spike_range=(12.0, 13.0),
+        wrap_alpha=0.5,
+        sap_p=0.05,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(BATCH, CHANNELS, *SPATIAL).astype(np.float32))
+    fn = jax.jit(lambda v, k: stylize_batch(v, k, cfg))
+    key = jax.random.key(0)
+    fn(x, key).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for i in range(TPU_ITERS):
+        out = fn(x, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BATCH * TPU_ITERS / dt
+
+
+def _cpu_reference_throughput() -> float:
+    """Reference-architecture stack on CPU torch: 4 separate FFT round trips
+    (disk filter, plane wave, spikes, wrap) + image-domain salt&pepper."""
+    import torch
+
+    def shift_fft(t, nd=3):
+        dims = tuple(range(-nd, 0))
+        return torch.fft.fftshift(torch.fft.fftn(t, dim=dims), dim=dims)
+
+    def inv(k, nd=3):
+        dims = tuple(range(-nd, 0))
+        return torch.fft.ifftn(torch.fft.ifftshift(k, dim=dims), dim=dims).real
+
+    from math import floor
+
+    grids = np.ogrid[tuple(slice(0, n) for n in SPATIAL)]
+    center = [floor(n / 2) for n in SPATIAL]
+    dist_sq = sum((g - c) ** 2 for g, c in zip(grids, center))
+
+    rng = np.random.RandomState(0)
+    x = torch.from_numpy(rng.randn(CHANNELS, *SPATIAL).astype(np.float32))
+
+    t0 = time.perf_counter()
+    for _ in range(CPU_ITERS):
+        # 1) Gibbs disk filter
+        k = shift_fft(x)
+        mask = torch.from_numpy((dist_sq < 17.0 ** 2).astype(np.float32))
+        y = inv(k * mask)
+        # 2) plane wave (log-magnitude point write)
+        k = shift_fft(y)
+        la, ph = k.abs().log(), k.angle()
+        la[:, 120, 120, 100] = 14.0
+        y = inv(la.exp() * torch.exp(1j * ph))
+        # 3) per-channel spikes
+        k = shift_fft(y)
+        la, ph = torch.log(k.abs() + 1e-10), k.angle()
+        for c in range(CHANNELS):
+            la[c, 60, 64, 32] = 12.5
+        y = inv(torch.exp(la) * torch.exp(1j * ph))
+        # 4) wraparound
+        k = shift_fft(y)
+        k[:, 1::2, :, :] *= 0.5
+        k[:, :, 1::2, :] *= 0.5
+        k[:, :, :, 1::2] *= 0.5
+        y = inv(k)
+        # 5) salt & pepper
+        u = torch.rand(y.shape)
+        hi, lo = y.max() / 2, y.min() / 2
+        y[u <= 0.025] = lo
+        y[(u > 0.025) & (u <= 0.05)] = hi
+    dt = time.perf_counter() - t0
+    return CPU_ITERS / dt
+
+
+def main() -> None:
+    tpu = _tpu_throughput()
+    cpu = _cpu_reference_throughput()
+    print(json.dumps({
+        "metric": "fused_3d_kspace_augmentation_240x240x155_4ch",
+        "value": round(tpu, 3),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": round(tpu / cpu, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

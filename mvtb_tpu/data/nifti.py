@@ -1,0 +1,159 @@
+"""NIfTI ingest + Decathlon/TCGA dataset plumbing (dependency-gated).
+
+The reference loads BraTS via MONAI's ``DecathlonDataset`` (JSON manifest of
+NIfTI pairs) and TCGA via per-modality JSON manifests
+(``baseline_domain.py:147-172``). Neither nibabel nor the datasets exist in
+this environment, so this module:
+
+* reads uncompressed/gzipped NIfTI-1 directly (small self-contained parser —
+  no nibabel dependency) when real data is present,
+* exposes ``DecathlonDataset``-style manifest loading + the reference's
+  deterministic 48/48 validation split,
+* caches preprocessed channel-first arrays as ``.npy`` so the (host, 1-core)
+  preprocessing cost is paid once — the corruption itself runs on-device.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_NIFTI_DTYPES = {
+    2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32,
+    64: np.float64, 256: np.int8, 512: np.uint16, 768: np.uint32,
+}
+
+
+def read_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Read a NIfTI-1 file -> (data array, 4x4 voxel->world affine).
+
+    Supports the single-file ``.nii``/``.nii.gz`` layout BraTS/TCGA use.
+    """
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        header = f.read(348)
+        if len(header) < 348 or struct.unpack("<i", header[:4])[0] != 348:
+            raise ValueError(f"{path}: not a little-endian NIfTI-1 file")
+        dim = struct.unpack("<8h", header[40:56])
+        datatype = struct.unpack("<h", header[70:72])[0]
+        vox_offset = int(struct.unpack("<f", header[108:112])[0])
+        scl_slope = struct.unpack("<f", header[112:116])[0]
+        scl_inter = struct.unpack("<f", header[116:120])[0]
+        srow_x = struct.unpack("<4f", header[280:296])
+        srow_y = struct.unpack("<4f", header[296:312])
+        srow_z = struct.unpack("<4f", header[312:328])
+
+        ndim = dim[0]
+        shape = tuple(int(d) for d in dim[1:1 + ndim])
+        dtype = _NIFTI_DTYPES.get(datatype)
+        if dtype is None:
+            raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
+        f.seek(vox_offset)
+        data = np.frombuffer(f.read(), dtype=dtype,
+                             count=int(np.prod(shape)))
+    data = data.reshape(shape, order="F")
+    if scl_slope not in (0.0, 1.0):
+        data = data * scl_slope + scl_inter
+    affine = np.eye(4)
+    affine[0], affine[1], affine[2] = srow_x, srow_y, srow_z
+    if not np.isfinite(affine).all() or np.allclose(affine[:3, :3], 0):
+        affine = np.eye(4)
+    return np.asarray(data), affine
+
+
+class DecathlonDataset:
+    """Manifest-driven dataset matching MONAI's Decathlon layout.
+
+    Expects ``root_dir/task/dataset.json`` with ``training`` entries of
+    ``{"image": ..., "label": ...}`` relative paths. ``section="validation"``
+    takes the same trailing slice MONAI does (last ~20% of training list).
+    Samples pass through ``transform`` and are memoized to ``cache_dir``.
+    """
+
+    def __init__(self, root_dir: str, task: str = "Task01_BrainTumour",
+                 transform=None, section: str = "training",
+                 cache_dir: Optional[str] = None, val_frac: float = 0.2):
+        self.root = os.path.join(root_dir, task)
+        manifest = os.path.join(self.root, "dataset.json")
+        with open(manifest) as f:
+            entries = json.load(f)["training"]
+        n_val = int(round(len(entries) * val_frac))
+        if section == "training":
+            self.entries = entries[:-n_val] if n_val else entries
+        elif section == "validation":
+            self.entries = entries[-n_val:] if n_val else []
+        else:
+            raise ValueError(section)
+        self.transform = transform
+        self.cache_dir = cache_dir
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def _load_raw(self, entry: Dict) -> Dict:
+        img_path = os.path.join(self.root, entry["image"])
+        lbl_path = os.path.join(self.root, entry["label"])
+        image, affine = read_nifti(img_path)
+        label, _ = read_nifti(lbl_path)
+        return {"image": image, "label": label, "affine": affine}
+
+    def __getitem__(self, idx: int) -> Dict:
+        if self.cache_dir:
+            tag = os.path.basename(self.entries[idx]["image"]).split(".")[0]
+            cache = os.path.join(self.cache_dir, f"{tag}.npz")
+            if os.path.exists(cache):
+                with np.load(cache) as z:
+                    return {k: z[k] for k in z.files}
+        sample = self._load_raw(self.entries[idx])
+        if self.transform is not None:
+            sample = self.transform(sample)
+        if self.cache_dir:
+            np.savez(cache, **{k: np.asarray(v) for k, v in sample.items()
+                               if isinstance(v, np.ndarray) or k in ("image", "label")})
+        return sample
+
+
+def reference_val_split(n: int = 96, split: Sequence[int] = (48, 48),
+                        seed: int = 0) -> Tuple[List[int], List[int]]:
+    """The reference's deterministic ``random_split([48, 48], seed 0)``
+    (``baseline.py:186``, ``utils.py:212``): a seeded permutation of indices
+    cut into consecutive chunks (torch semantics)."""
+    # torch.randperm under a manual-seeded generator; replicated via torch
+    # when available so the exact 48-volume eval subset matches.
+    try:
+        import torch
+
+        g = torch.Generator().manual_seed(seed)
+        perm = torch.randperm(n, generator=g).tolist()
+    except ImportError:  # pragma: no cover
+        perm = list(np.random.RandomState(seed).permutation(n))
+    first = perm[:split[0]]
+    second = perm[split[0]:split[0] + split[1]]
+    return first, second
+
+
+def tcga_manifest_datasets(manifest_paths: Sequence[str], transform=None,
+                           partition: float = 0.9, seed: int = 0):
+    """TCGA per-modality JSON manifests -> (train_entries, val_entries) per
+    manifest, with the reference's 0.9/0.1 partition
+    (``baseline_domain.py:147-154``)."""
+    out = []
+    rng = np.random.RandomState(seed)
+    for path in manifest_paths:
+        with open(path) as f:
+            entries = json.load(f)
+        if isinstance(entries, dict):
+            entries = entries.get("training", entries.get("data", []))
+        idx = rng.permutation(len(entries))
+        cut = int(len(entries) * partition)
+        train = [entries[i] for i in idx[:cut]]
+        val = [entries[i] for i in idx[cut:]]
+        out.append((train, val))
+    return out

@@ -1,0 +1,254 @@
+"""Config-driven experiment runner.
+
+One function, :func:`run`, executes any registry entry end-to-end — the
+replacement for the reference's per-script top-level loops
+(``baseline.py:232-318`` T1 template and its ~90 clones; GAN loops in
+``50_reconstruction/``; learnable-layer loops in ``350_stylized_layers/``).
+
+Data comes from :mod:`mvtb_tpu.data.synthetic` by default (the reference's
+BraTS/TCGA live on a private cluster) or from a preprocessed-array directory
+via ``data_root`` (see :mod:`mvtb_tpu.data.nifti`). All corruption runs on
+device inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvtb_tpu.experiments.registry import ExperimentConfig, get as get_config
+
+
+def _data_iter(cfg: ExperimentConfig, seed: int, batch_size: int):
+    """Yield channel-first (image, label) batches honoring select_channel."""
+    from mvtb_tpu.data.synthetic import batches
+
+    if cfg.select_channel is not None:
+        img_c, lbl_c = cfg.select_channel
+        base = batches(seed, batch_size, channels=4, spatial=cfg.spatial,
+                       n_classes=3)
+        for img, lbl in base:
+            yield img[:, img_c:img_c + 1], lbl[:, lbl_c:lbl_c + 1]
+    else:
+        yield from batches(seed, batch_size, channels=cfg.in_channels,
+                           spatial=cfg.spatial, n_classes=cfg.out_channels)
+
+
+def _slices_iter(cfg: ExperimentConfig, seed: int, batch_size: int):
+    """Channel-last 2D slice batches in [-1, 1] for the GAN experiments."""
+    from mvtb_tpu.data.synthetic import make_volume
+
+    rng = np.random.RandomState(seed)
+    h, w = cfg.spatial[:2]
+    while True:
+        out = []
+        for _ in range(batch_size):
+            img, _ = make_volume(rng, cfg.in_channels, (h, w, 4))
+            sl = img[:, :, :, rng.randint(0, 4)]
+            sl = np.tanh(sl)  # squash into [-1, 1] like Tanh-generated data
+            out.append(np.moveaxis(sl, 0, -1))
+        yield np.stack(out).astype(np.float32)
+
+
+def _run_segmentation(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
+                      seed: int, workdir: Optional[str], log) -> Dict:
+    from mvtb_tpu.models import UNet
+    from mvtb_tpu.train import (EpochMetrics, create_seg_state, seg_eval_step,
+                                seg_train_step, reference_optimizer)
+
+    model = UNet(out_channels=cfg.out_channels, channels=cfg.channels,
+                 strides=cfg.strides, num_res_units=cfg.num_res_units)
+    state = create_seg_state(
+        jax.random.key(seed), model,
+        (1,) + cfg.spatial + (cfg.in_channels,),
+        tx=reference_optimizer(cfg.lr, cfg.weight_decay))
+
+    ckpt = None
+    if workdir:
+        from mvtb_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(os.path.join(workdir, "ckpt"),
+                                 best_metric="mean_dice", best_mode="max")
+
+    train_it = _data_iter(cfg, seed, cfg.batch_size)
+    val_batches = [next(_data_iter(cfg, seed + 1000 + i, cfg.batch_size))
+                   for i in range(4)]
+
+    key = jax.random.key(seed + 1)
+    history = {"loss": [], "dice": [], "epochs": []}
+    best = -1.0
+    for epoch in range(epochs):
+        losses = []
+        for _ in range(steps_per_epoch):
+            img, lbl = next(train_it)
+            key, sub = jax.random.split(key)
+            state, loss = seg_train_step(state, jnp.asarray(img),
+                                         jnp.asarray(lbl), sub,
+                                         cfg.train_stylize)
+            losses.append(float(loss))
+        history["loss"].append(float(np.mean(losses)))
+
+        if (epoch + 1) % cfg.val_interval == 0:
+            metrics = EpochMetrics()
+            for img, lbl in val_batches:
+                key, sub = jax.random.split(key)
+                scores = seg_eval_step(state, jnp.asarray(img),
+                                       jnp.asarray(lbl), sub, cfg.val_stylize)
+                metrics.update(scores)
+            result = metrics.result()
+            history["dice"].append(result)
+            history["epochs"].append(epoch + 1)
+            log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
+                f"loss {history['loss'][-1]:.4f} dice {result['mean']:.4f}")
+            if result["mean"] > best:
+                best = result["mean"]
+                if ckpt is not None:
+                    ckpt.save(epoch + 1, state,
+                              metrics={"mean_dice": result["mean"]})
+    if ckpt is not None:
+        ckpt.wait()
+        ckpt.close()
+    return {"history": history, "best_dice": best, "state": state}
+
+
+def _run_learnable(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
+                   seed: int, workdir: Optional[str], log) -> Dict:
+    from mvtb_tpu.models import GibbsUNet, SpikesUNet
+    from mvtb_tpu.train.learnable import (create_learnable_state,
+                                          fd_train_step, learnable_train_step)
+
+    if cfg.kind == "learnable_gibbs":
+        model = GibbsUNet(alpha_init=cfg.alpha0, hard=cfg.fd_mode,
+                          out_channels=cfg.out_channels, channels=cfg.channels,
+                          strides=cfg.strides, num_res_units=cfg.num_res_units)
+    else:
+        model = SpikesUNet(intensity=cfg.spike_intensity, learnable=True,
+                           out_channels=cfg.out_channels, channels=cfg.channels,
+                           strides=cfg.strides, num_res_units=cfg.num_res_units)
+
+    state = create_learnable_state(
+        jax.random.key(seed), model,
+        (cfg.batch_size, cfg.in_channels) + cfg.spatial)
+
+    train_it = _data_iter(cfg, seed, cfg.batch_size)
+    trajectory, losses = [], []
+    key = jax.random.key(seed + 1)
+    for epoch in range(epochs):
+        for _ in range(steps_per_epoch):
+            img, lbl = next(train_it)
+            img, lbl = jnp.asarray(img), jnp.asarray(lbl)
+            key, sub = jax.random.split(key)
+            if cfg.fd_mode and cfg.kind == "learnable_gibbs":
+                state, loss, alpha = fd_train_step(state, img, lbl, sub,
+                                                   h=cfg.fd_h, lr=cfg.fd_lr)
+            else:
+                state, loss, alpha = learnable_train_step(state, img, lbl, sub)
+            trajectory.append(float(alpha))
+            losses.append(float(loss))
+        log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
+            f"loss {losses[-1]:.4f} alpha {trajectory[-1]:.4f}")
+
+    if workdir:
+        np.savetxt(os.path.join(workdir, f"gibbs_trajectory_{cfg.name}.txt"),
+                   np.asarray(trajectory))
+    return {"trajectory": trajectory, "losses": losses, "state": state}
+
+
+def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
+             seed: int, workdir: Optional[str], log) -> Dict:
+    from mvtb_tpu.models import (Discriminator, Generator,
+                                 ResUnetDiscriminator, ResUnetGenerator)
+    from mvtb_tpu.train.gan import (create_gan_state, dcgan_step,
+                                    recon_gan_step)
+
+    key = jax.random.key(seed)
+    data_it = _slices_iter(cfg, seed, cfg.batch_size)
+    history = {"g_loss": [], "d_loss": []}
+
+    if cfg.kind == "dcgan":
+        g = Generator(nz=cfg.nz, ngf=128, nc=cfg.in_channels)
+        d = Discriminator(nc=cfg.in_channels, ndf=128)
+        g_state = create_gan_state(key, g, (cfg.batch_size, 1, 1, cfg.nz),
+                                   lr=cfg.gan_lr, beta1=cfg.gan_beta1)
+        d_state = create_gan_state(
+            jax.random.fold_in(key, 1), d,
+            (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,),
+            lr=cfg.gan_lr, beta1=cfg.gan_beta1)
+        for epoch in range(epochs):
+            for _ in range(steps_per_epoch):
+                real = jnp.asarray(next(data_it))
+                key, kz = jax.random.split(key)
+                z = jax.random.normal(kz, (real.shape[0], 1, 1, cfg.nz))
+                g_state, d_state, m = dcgan_step(g_state, d_state, real, z)
+                history["g_loss"].append(float(m["g_loss"]))
+                history["d_loss"].append(float(m["d_loss"]))
+            log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
+                f"G {history['g_loss'][-1]:.3f} D {history['d_loss'][-1]:.3f}")
+        return {"history": history, "g_state": g_state, "d_state": d_state}
+
+    # ReconGAN family
+    g = ResUnetGenerator(in_chans=cfg.in_channels, nf=16,
+                         global_residual=(cfg.kind != "gibbs_gan"))
+    d = ResUnetDiscriminator(nf=16)
+    shape = (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,)
+    g_state = create_gan_state(key, g, shape, lr=cfg.gan_lr,
+                               beta1=cfg.gan_beta1, train_kwarg=False)
+    d_state = create_gan_state(jax.random.fold_in(key, 1), d, shape,
+                               lr=cfg.gan_lr, beta1=cfg.gan_beta1,
+                               train_kwarg=False)
+    freq = cfg.kind in ("recon_gan_freq", "gibbs_gan")
+    compress_kind = "gibbs" if cfg.kind == "gibbs_gan" else "zf"
+    for epoch in range(epochs):
+        for _ in range(steps_per_epoch):
+            real = jnp.asarray(next(data_it))
+            key, sub = jax.random.split(key)
+            g_state, d_state, m = recon_gan_step(
+                g_state, d_state, real, sub, zf_p=cfg.zf_p,
+                alpha=cfg.cyclic_alpha, gamma=cfg.cyclic_gamma,
+                freq_domain=freq, compress_kind=compress_kind,
+                pre_corrupt_real=(cfg.kind == "gibbs_gan"))
+            history["g_loss"].append(float(m["g_loss"]))
+            history["d_loss"].append(float(m["d_loss"]))
+        log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
+            f"G {history['g_loss'][-1]:.3f} D {history['d_loss'][-1]:.3f}")
+    return {"history": history, "g_state": g_state, "d_state": d_state}
+
+
+def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
+        steps_per_epoch: int = 8, seed: int = 0,
+        workdir: Optional[str] = None, verbose: bool = True) -> Dict:
+    """Run one experiment end-to-end; returns history + final state(s).
+
+    ``epochs`` overrides the config (use small values for smoke runs; the
+    registry holds the reference's full training lengths).
+    """
+    cfg = get_config(config) if isinstance(config, str) else config
+    epochs = cfg.epochs if epochs is None else epochs
+    log = print if verbose else (lambda *_: None)
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+
+    t0 = time.time()
+    if cfg.kind == "segmentation":
+        result = _run_segmentation(cfg, steps_per_epoch, epochs, seed, workdir, log)
+    elif cfg.kind in ("learnable_gibbs", "learnable_spikes"):
+        result = _run_learnable(cfg, steps_per_epoch, epochs, seed, workdir, log)
+    elif cfg.kind in ("dcgan", "recon_gan", "recon_gan_freq", "gibbs_gan"):
+        result = _run_gan(cfg, steps_per_epoch, epochs, seed, workdir, log)
+    else:
+        raise ValueError(f"unknown experiment kind {cfg.kind}")
+    result["wall_time_s"] = time.time() - t0
+
+    if workdir:
+        serializable = {k: v for k, v in result.items()
+                        if k in ("history", "best_dice", "trajectory",
+                                 "losses", "wall_time_s")}
+        with open(os.path.join(workdir, f"{cfg.name}_result.json"), "w") as f:
+            json.dump(serializable, f, indent=2)
+    return result

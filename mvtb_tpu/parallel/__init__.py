@@ -1,0 +1,11 @@
+"""Device mesh + sharding helpers (data parallelism over ICI)."""
+
+from mvtb_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["batch_sharding", "make_mesh", "replicate", "replicated", "shard_batch"]
