@@ -27,7 +27,7 @@ SPATIAL = (240, 240, 155)
 CHANNELS = 4
 BATCH = 2
 TPU_ITERS = 8
-CPU_ITERS = 1
+CPU_ITERS = 2
 
 
 def _tpu_throughput() -> float:
@@ -78,8 +78,9 @@ def _cpu_reference_throughput() -> float:
     rng = np.random.RandomState(0)
     x = torch.from_numpy(rng.randn(CHANNELS, *SPATIAL).astype(np.float32))
 
-    t0 = time.perf_counter()
+    times = []
     for _ in range(CPU_ITERS):
+        t0 = time.perf_counter()
         # 1) Gibbs disk filter
         k = shift_fft(x)
         mask = torch.from_numpy((dist_sq < 17.0 ** 2).astype(np.float32))
@@ -106,8 +107,9 @@ def _cpu_reference_throughput() -> float:
         hi, lo = y.max() / 2, y.min() / 2
         y[u <= 0.025] = lo
         y[(u > 0.025) & (u <= 0.05)] = hi
-    dt = time.perf_counter() - t0
-    return CPU_ITERS / dt
+        times.append(time.perf_counter() - t0)
+    # fastest CPU iteration -> conservative (lowest) vs_baseline ratio
+    return 1.0 / min(times)
 
 
 def main() -> None:

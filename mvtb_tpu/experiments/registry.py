@@ -28,6 +28,9 @@ class ExperimentConfig:
     channels: Tuple[int, ...] = (16, 32, 64, 128, 256)
     strides: Tuple[int, ...] = (2, 2, 2, 2)
     num_res_units: int = 2
+    # "bfloat16" compute is ~1.8x faster on the MXU with f32 params/optimizer;
+    # "float32" matches the reference's numerics exactly.
+    model_dtype: str = "bfloat16"
     # data
     spatial: Tuple[int, ...] = (128, 128, 64)
     select_channel: Optional[Tuple[int, int]] = None  # (image_chan, label_chan)

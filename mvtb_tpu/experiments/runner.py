@@ -63,7 +63,8 @@ def _run_segmentation(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                                 seg_train_step, reference_optimizer)
 
     model = UNet(out_channels=cfg.out_channels, channels=cfg.channels,
-                 strides=cfg.strides, num_res_units=cfg.num_res_units)
+                 strides=cfg.strides, num_res_units=cfg.num_res_units,
+                 dtype=jnp.dtype(cfg.model_dtype))
     state = create_seg_state(
         jax.random.key(seed), model,
         (1,) + cfg.spatial + (cfg.in_channels,),

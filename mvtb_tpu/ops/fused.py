@@ -4,29 +4,33 @@ The reference applies each corruption as its own CPU-side FFT round trip in
 dataloader workers (pipeline order Gibbs -> planes -> wrap -> salt&pepper,
 e.g. ``10_scripts/127_.../stylized_gibbs12p5_spikes15_wrap0p5_sap0p05_FLAIR.py:138-141``).
 Here the whole stack runs on the TPU inside the train step with a *single*
-forward/inverse FFT pair per volume: radial masks are generated on the fly
-from ``broadcasted_iota`` (never materialized in HBM), wrap weights and
-magnitude-domain edits fuse into the same elementwise pass, and salt&pepper
-runs in the image domain after the inverse FFT. Between the two FFTs the
-volume makes exactly one HBM round trip.
+forward/inverse FFT pair per volume and **no fftshift/ifftshift rolls at
+all**: every k-space index computation (radial masks, wraparound parity,
+spike/plane point writes) is carried out directly in raw FFT coordinates via
+the index map ``shifted = (raw + floor(n/2)) mod n``. The two shift rolls the
+reference performs per round trip are full HBM passes over the complex
+volume; generating masks from ``broadcasted_iota`` in raw coordinates makes
+them free and leaves exactly one HBM round trip between the FFTs.
 
 Semantics note: the reference's sequential version projects to the real part
 between corruptions; the fused path stays complex until the final iFFT. For
 bit-parity with the reference use the per-op functions in
 :mod:`mvtb_tpu.ops.corruptions` (the transform API does). The fused path is
-the production augmentation engine.
+the production augmentation engine; single-stage configs match the per-op
+results exactly (see tests/test_fused.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
-from mvtb_tpu.ops.fourier import fft_shifted, from_polar, ifft_shifted_real
-from mvtb_tpu.ops.masks import _dist_sq_grid, ellipsoid_shell_mask
+from mvtb_tpu.ops.fourier import from_polar
+from mvtb_tpu.ops.masks import ellipsoid_shell_mask
 
 Array = jnp.ndarray
 ParamSpec = Union[float, Tuple[float, float]]  # fixed value or U[lo,hi] range
@@ -77,6 +81,12 @@ class StylizeConfig:
                       self.plane_axes, self.zf_p, self.sap_p)
         ) or self.spike
 
+    @property
+    def kspace_needed(self) -> bool:
+        return (self.gibbs_alpha is not None or self.disk_r is not None
+                or self.wrap_alpha is not None or self.spike
+                or self.plane_axes is not None or self.zf_p is not None)
+
 
 def _sample(key: jax.Array, spec: ParamSpec, dtype) -> Array:
     if isinstance(spec, tuple):
@@ -88,6 +98,35 @@ def _gate(key: jax.Array, prob: float) -> Array:
     if prob >= 1.0:
         return jnp.asarray(True)
     return jax.random.bernoulli(key, prob)
+
+
+def _raw_offset(spatial, axis: int) -> Array:
+    """Per-axis offset-from-center grid in RAW (unshifted) FFT coordinates.
+
+    For raw index i and c = floor(n/2): the fftshifted position is
+    ``s = (i + c) mod n``, so the offset from the shifted center is
+    ``s - c = i`` for ``i < n - c`` and ``i - n`` otherwise. Generated from
+    iota, so XLA fuses it into the consuming elementwise op — nothing is
+    read from HBM.
+    """
+    n = spatial[axis]
+    c = n // 2
+    i = jax.lax.broadcasted_iota(jnp.float32, spatial, axis)
+    return jnp.where(i < n - c, i, i - n)
+
+
+def _raw_dist_sq(spatial, center_shift: Tuple[float, ...]) -> Array:
+    """Squared distance from (shifted-space) center + per-axis shift deltas."""
+    total = jnp.zeros(spatial, jnp.float32)
+    for axis in range(len(spatial)):
+        off = _raw_offset(spatial, axis) - center_shift[axis]
+        total = total + off * off
+    return total
+
+
+def _to_raw_index(shifted_idx, n: int):
+    """Map a shifted-space index to raw FFT coordinates: ``(s - c) mod n``."""
+    return (shifted_idx - n // 2) % n
 
 
 def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
@@ -110,49 +149,45 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
     spatial = x.shape[1:]
     C = x.shape[0]
     rdtype = jnp.zeros((), x.dtype).real.dtype
+    axes = tuple(range(-nd, 0))
     keys = jax.random.split(key, 16)
     kit = iter(keys)
 
-    kspace_needed = (
-        cfg.gibbs_alpha is not None or cfg.disk_r is not None
-        or cfg.wrap_alpha is not None or cfg.spike
-        or cfg.plane_axes is not None or cfg.zf_p is not None
-    )
-
     out = x
-    if kspace_needed:
-        k = fft_shifted(x, nd)
+    if cfg.kspace_needed:
+        k = jnp.fft.fftn(x, axes=axes)  # RAW coordinates — no shift rolls
 
         # ---- radial masks: generated on the fly, fused into the multiply ----
         weight = None  # lazy (C-broadcastable) multiplicative weight on k
-        if cfg.gibbs_alpha is not None or cfg.disk_r is not None:
-            if cfg.gibbs_alpha is not None:
-                center = [(n - 1) / 2 for n in spatial]
-                dist_sq = _dist_sq_grid(spatial, center)
-                alpha = _sample(next(kit), cfg.gibbs_alpha, rdtype)
-                r = (1.0 - alpha) * max(spatial) * jnp.sqrt(jnp.asarray(2.0, rdtype)) / 2.0
-                m = (dist_sq <= r * r).astype(rdtype)
-                g = _gate(next(kit), cfg.gibbs_prob)
-                weight = jnp.where(g, m, jnp.ones((), rdtype))
-            if cfg.disk_r is not None:
-                center = [n // 2 for n in spatial]
-                dist_sq = _dist_sq_grid(spatial, center)
-                r = _sample(next(kit), cfg.disk_r, rdtype)
-                inside = dist_sq < r * r
-                m = (jnp.logical_not(inside) if cfg.disk_inside_off else inside).astype(rdtype)
-                g = _gate(next(kit), cfg.disk_prob)
-                m = jnp.where(g, m, jnp.ones((), rdtype))
-                weight = m if weight is None else weight * m
+        if cfg.gibbs_alpha is not None:
+            # GibbsNoise center is (n-1)/2: shifted-center delta (n-1)/2 - n//2
+            deltas = tuple((n - 1) / 2 - n // 2 for n in spatial)
+            dist_sq = _raw_dist_sq(spatial, deltas)
+            alpha = _sample(next(kit), cfg.gibbs_alpha, rdtype)
+            r = (1.0 - alpha) * max(spatial) * math.sqrt(2.0) / 2.0
+            m = (dist_sq <= r * r).astype(rdtype)
+            g = _gate(next(kit), cfg.gibbs_prob)
+            weight = jnp.where(g, m, jnp.ones((), rdtype))
+        if cfg.disk_r is not None:
+            dist_sq = _raw_dist_sq(spatial, (0.0,) * nd)
+            r = _sample(next(kit), cfg.disk_r, rdtype)
+            inside = dist_sq < r * r
+            m = (jnp.logical_not(inside) if cfg.disk_inside_off else inside).astype(rdtype)
+            g = _gate(next(kit), cfg.disk_prob)
+            m = jnp.where(g, m, jnp.ones((), rdtype))
+            weight = m if weight is None else weight * m
 
-        # ---- wraparound: outer product of per-axis odd-line weights ----
+        # ---- wraparound: parity of the SHIFTED index, computed raw ----
         if cfg.wrap_alpha is not None:
             alpha = _sample(next(kit), cfg.wrap_alpha, rdtype)
             g = _gate(next(kit), cfg.wrap_prob)
             alpha = jnp.where(g, alpha, jnp.ones((), rdtype))
             for d in range(nd):
                 n = spatial[d]
-                parity = jax.lax.broadcasted_iota(jnp.int32, spatial, d) % 2
-                w = jnp.where(parity == 1, alpha, jnp.ones((), rdtype))
+                c = n // 2
+                i = jax.lax.broadcasted_iota(jnp.int32, spatial, d)
+                s = jnp.where(i < n - c, i + c, i + c - n)  # shifted index
+                w = jnp.where(s % 2 == 1, alpha, jnp.ones((), rdtype))
                 weight = w if weight is None else weight * w
 
         if weight is not None:
@@ -178,9 +213,13 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                     lo = jnp.full((C,), cfg.spike_range[0], rdtype)
                     hi = jnp.full((C,), cfg.spike_range[1], rdtype)
                 loc_keys = jax.random.split(next(kit), nd)
+                # sample in shifted coordinates (uniform either way), then
+                # map to raw so results match the shifted-space reference
                 if cfg.spike_channel_wise:
                     locs = tuple(
-                        jax.random.randint(loc_keys[d], (C,), 0, spatial[d])
+                        _to_raw_index(
+                            jax.random.randint(loc_keys[d], (C,), 0, spatial[d]),
+                            spatial[d])
                         for d in range(nd)
                     )
                     vals = lo + (hi - lo) * jax.random.uniform(next(kit), (C,), rdtype)
@@ -189,7 +228,9 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                     vals = jnp.where(gates, vals, log_abs[idx])
                 else:
                     locs = tuple(
-                        jnp.full((C,), jax.random.randint(loc_keys[d], (), 0, spatial[d]))
+                        jnp.full((C,), _to_raw_index(
+                            jax.random.randint(loc_keys[d], (), 0, spatial[d]),
+                            spatial[d]))
                         for d in range(nd)
                     )
                     u = jax.random.uniform(next(kit), (), rdtype)
@@ -200,19 +241,21 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 log_abs = log_abs.at[idx].set(vals)
 
             if cfg.plane_axes is not None:
-                a, b, c = cfg.plane_axes
-                shell = jnp.asarray(ellipsoid_shell_mask(spatial, a, b, c).ravel())
+                a, b, c3 = cfg.plane_axes
+                shell = jnp.asarray(ellipsoid_shell_mask(spatial, a, b, c3).ravel())
                 logits = jnp.where(shell, 0.0, -jnp.inf)
                 flat = jax.random.categorical(next(kit), logits)
-                loc = jnp.unravel_index(flat, spatial)
-                idx = (slice(None),) + tuple(loc)
+                loc = jnp.unravel_index(flat, spatial)  # shifted coords
+                raw = tuple(_to_raw_index(loc[d], spatial[d]) for d in range(nd))
+                idx = (slice(None),) + raw
                 g = _gate(next(kit), cfg.plane_prob)
-                val = jnp.where(g, jnp.asarray(cfg.plane_intensity, rdtype), log_abs[idx])
+                val = jnp.where(g, jnp.asarray(cfg.plane_intensity, rdtype),
+                                log_abs[idx])
                 log_abs = log_abs.at[idx].set(val)
 
             k = from_polar(jnp.exp(log_abs), phase)
 
-        out = ifft_shifted_real(k, nd).astype(x.dtype)
+        out = jnp.fft.ifftn(k, axes=axes).real.astype(x.dtype)
 
     # ---- image-domain salt & pepper ----
     if cfg.sap_p is not None:
