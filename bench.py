@@ -25,12 +25,17 @@ import numpy as np
 
 SPATIAL = (240, 240, 155)
 CHANNELS = 4
-BATCH = 2
+BATCH = 4
 TPU_ITERS = 8
 CPU_ITERS = 2
 
 
 def _tpu_throughput() -> float:
+    """Device-loop slope timing: the op iterates inside one jitted
+    ``fori_loop`` with a loop-carried dependency, so one dispatch + one host
+    fetch bounds K executions. The K=12 minus K=2 slope cancels dispatch/RTT
+    overhead — required on this tunneled TPU, where ``block_until_ready``
+    does not actually block."""
     import jax
     import jax.numpy as jnp
 
@@ -45,15 +50,28 @@ def _tpu_throughput() -> float:
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(BATCH, CHANNELS, *SPATIAL).astype(np.float32))
-    fn = jax.jit(lambda v, k: stylize_batch(v, k, cfg))
-    key = jax.random.key(0)
-    fn(x, key).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for i in range(TPU_ITERS):
-        out = fn(x, jax.random.fold_in(key, i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-    return BATCH * TPU_ITERS / dt
+
+    def body(i, carry):
+        v, acc = carry
+        key = jax.random.fold_in(jax.random.key(0), i + (acc * 0).astype(jnp.int32))
+        out = stylize_batch(v, key, cfg)
+        return (v, out[0, 0, 0, 0, 0])
+
+    run = jax.jit(
+        lambda v, k: jax.lax.fori_loop(0, k, body, (v, jnp.float32(0)))[1],
+        static_argnums=1)
+    float(run(x, 2))
+    float(run(x, 12))  # compile both loop lengths
+
+    def timed(k):
+        t0 = time.perf_counter()
+        float(run(x, k))
+        return time.perf_counter() - t0
+
+    t2 = min(timed(2), timed(2))
+    t12 = min(timed(12), timed(12))
+    per_iter = (t12 - t2) / 10
+    return BATCH / per_iter
 
 
 def _cpu_reference_throughput() -> float:
