@@ -3,9 +3,11 @@
 from mvtb_tpu.data.synthetic import batches, decathlon_style_dicts, make_volume
 from mvtb_tpu.data.pipeline import Loader, brats_train_pipeline, brats_val_pipeline
 from mvtb_tpu.data.nifti import DecathlonDataset, read_nifti, reference_val_split
+from mvtb_tpu.data.slices import RandConcatd, Sliced
 
 __all__ = [
     "batches", "decathlon_style_dicts", "make_volume",
     "Loader", "brats_train_pipeline", "brats_val_pipeline",
     "DecathlonDataset", "read_nifti", "reference_val_split",
+    "RandConcatd", "Sliced",
 ]

@@ -65,6 +65,61 @@ class ModelEvaluation:
         self.out_channels = out_channels
         self.eval_dict: Dict[str, object] = defaultdict(list)
 
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, instance_name: Optional[str] = None,
+                        in_channels: int = 4, out_channels: int = 3,
+                        gibbs_unet: bool = False, spikes_unet: bool = False,
+                        step: Optional[int] = None) -> "ModelEvaluation":
+        """Restore a trained model from an Orbax checkpoint directory.
+
+        The framework analogue of the reference's ``load_UNet`` /
+        ``load_gibbs_unet`` / ``load_spikes_unet`` .pth loading
+        (``utils.py:286-311``). Channel-first stylization models
+        (``gibbs_unet``/``spikes_unet``) are wrapped so the harness's
+        channel-last forward sees a plain UNet interface.
+        """
+        from mvtb_tpu.models import GibbsUNet, SpikesUNet, UNet
+        from mvtb_tpu.train.checkpoint import CheckpointManager
+        from mvtb_tpu.train.seg import TrainState, reference_optimizer
+
+        if gibbs_unet:
+            model = GibbsUNet(out_channels=out_channels)
+        elif spikes_unet:
+            model = SpikesUNet(out_channels=out_channels)
+        else:
+            model = UNet(out_channels=out_channels)
+
+        # param shapes are spatial-size independent; init on a minimal grid
+        tiny = (1, 16, 16, 16, in_channels)
+        if gibbs_unet or spikes_unet:
+            tiny = (1, in_channels, 16, 16, 16)
+            rngs = {"params": jax.random.key(0),
+                    "corruption": jax.random.key(1)}
+            variables = jax.jit(model.init)(rngs, jnp.zeros(tiny, jnp.float32))
+        else:
+            variables = jax.jit(model.init)(jax.random.key(0),
+                                            jnp.zeros(tiny, jnp.float32))
+        template = TrainState.create(apply_fn=model.apply,
+                                     params=variables["params"],
+                                     tx=reference_optimizer())
+        mgr = CheckpointManager(ckpt_dir)
+        state = mgr.restore(template, step=step)
+        mgr.close()
+
+        if gibbs_unet or spikes_unet:
+            base_apply = model.apply
+
+            def apply_fn(vars_, x_cl, _base=base_apply):
+                # harness supplies channel-last; stylization models are
+                # channel-first and (spikes) need a corruption stream
+                x_cf = jnp.moveaxis(x_cl, -1, 1)
+                y = _base(vars_, x_cf, rngs={"corruption": jax.random.key(0)})
+                return jnp.moveaxis(y, 1, -1)
+        else:
+            apply_fn = model.apply
+        return cls(apply_fn, state.params, instance_name=instance_name,
+                   in_channels=in_channels, out_channels=out_channels)
+
     # -- dataset-level metrics ------------------------------------------------
 
     def dataset_eval_single(self, loader: Iterable[dict]) -> float:

@@ -1,0 +1,109 @@
+"""Learning-curve and evaluation plots (the reference saves these per run:
+``baseline.py:338-374`` loss/Dice curves, per-class Dice panels, and the
+results notebooks' model-performance bars)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+
+def save_learning_curves(history: Dict, path: str, val_interval: int = 2,
+                         title: str = "") -> str:
+    """Loss + mean-Dice curves side by side (``baseline.py:338-352``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(12, 6))
+    fig.suptitle(title)
+    axes[0].set_title("Epoch average Loss")
+    axes[0].plot(range(1, len(history["loss"]) + 1), history["loss"], color="red")
+    axes[0].set_xlabel("epoch")
+    dice = [d["mean"] for d in history.get("dice", [])]
+    epochs = history.get("epochs") or [val_interval * (i + 1) for i in range(len(dice))]
+    axes[1].set_title("Val mean Dice")
+    axes[1].plot(epochs, dice, color="green")
+    axes[1].set_xlabel("epoch")
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def save_per_class_curves(history: Dict, path: str,
+                          class_names: Sequence[str] = ("TC", "WT", "ET"),
+                          title: str = "") -> str:
+    """Per-class Dice panels (``baseline.py:354-374``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dice = history.get("dice", [])
+    n = len(class_names)
+    fig, axes = plt.subplots(1, n, figsize=(6 * n, 6))
+    fig.suptitle(title)
+    epochs = history.get("epochs") or list(range(1, len(dice) + 1))
+    for i, name in enumerate(class_names):
+        vals = [d["per_class"][i] for d in dice]
+        axes[i].set_title(f"Val mean Dice {name}")
+        axes[i].plot(epochs, vals)
+        axes[i].set_xlabel("epoch")
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def plot_model_performance(eval_dicts: Dict[str, Dict], path: str,
+                           metric_index: Optional[int] = 0,
+                           title: str = "Dice across corruption levels") -> str:
+    """Grouped bars: one group per dataset, one bar per model — the
+    ``plot_model_performance`` helper of the comparison notebooks
+    (``20_results/80_common_evaluations``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    datasets: List[str] = sorted({d for ev in eval_dicts.values() for d in ev})
+    models = list(eval_dicts)
+    width = 0.8 / max(len(models), 1)
+    fig, ax = plt.subplots(figsize=(max(8, 1.5 * len(datasets)), 6))
+    xs = np.arange(len(datasets))
+    for mi, model in enumerate(models):
+        vals = []
+        for ds in datasets:
+            v = eval_dicts[model].get(ds)
+            if isinstance(v, (list, tuple)):
+                v = v[metric_index or 0]
+            vals.append(float(v) if v is not None else np.nan)
+        ax.bar(xs + mi * width, vals, width, label=model)
+    ax.set_xticks(xs + width * (len(models) - 1) / 2)
+    ax.set_xticklabels(datasets, rotation=30, ha="right")
+    ax.set_ylabel("Dice")
+    ax.set_title(title)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def save_alpha_trajectory(trajectory: Sequence[float], path: str,
+                          title: str = "Gibbs alpha trajectory") -> str:
+    """Stylization-parameter trajectory plot (the GD experiments log these
+    to ``gibbs_trajectory_*.txt``; ``gibbs0p7_layer_domain_GD.py:386``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.plot(list(trajectory))
+    ax.set_xlabel("step")
+    ax.set_ylabel("alpha")
+    ax.set_title(title)
+    fig.savefig(path)
+    plt.close(fig)
+    return path

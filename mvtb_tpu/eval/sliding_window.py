@@ -1,0 +1,119 @@
+"""Sliding-window inference over large volumes.
+
+TPU-native equivalent of MONAI's ``sliding_window_inference`` (used by the
+reference's TCGA evaluation notebooks, SURVEY.md section 2.4): tile the
+volume with an overlapping static grid, run the network over tiles in
+batches, and blend with constant or Gaussian importance weighting. The tile
+grid is computed at trace time, so the whole sweep compiles into one XLA
+program with static shapes (no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def _grid_positions(size: int, roi: int, overlap: float) -> Tuple[int, ...]:
+    """Start offsets covering [0, size) with ~overlap between tiles."""
+    if size <= roi:
+        return (0,)
+    step = max(int(roi * (1.0 - overlap)), 1)
+    starts = list(range(0, size - roi + 1, step))
+    if starts[-1] != size - roi:
+        starts.append(size - roi)
+    return tuple(starts)
+
+
+def _gaussian_importance(roi: Sequence[int], sigma_scale: float = 0.125) -> np.ndarray:
+    """Separable Gaussian importance map (MONAI's BlendMode.GAUSSIAN)."""
+    out = np.ones(tuple(roi), np.float32)
+    for axis, n in enumerate(roi):
+        center = (n - 1) / 2.0
+        sigma = max(n * sigma_scale, 1e-3)
+        g = np.exp(-0.5 * ((np.arange(n) - center) / sigma) ** 2).astype(np.float32)
+        g = np.maximum(g, g.max() * 1e-3)  # avoid zero weights at borders
+        shape = [1] * len(roi)
+        shape[axis] = n
+        out = out * g.reshape(shape)
+    return out
+
+
+def sliding_window_inference(
+    image: Array,
+    roi_size: Sequence[int],
+    apply_fn: Callable,
+    params,
+    *,
+    overlap: float = 0.25,
+    mode: str = "constant",
+    out_channels: int | None = None,
+) -> Array:
+    """Tiled inference on channel-first input ``(B, C, *spatial)``.
+
+    ``apply_fn({"params": params}, tile_cl)`` is called on channel-last tiles
+    ``(B, *roi, C)`` and must return channel-last logits of the same spatial
+    size. Returns channel-first logits ``(B, out_channels, *spatial)``.
+    """
+    nd = len(roi_size)
+    spatial = image.shape[2:]
+    if len(spatial) != nd:
+        raise ValueError(f"roi rank {nd} != spatial rank {len(spatial)}")
+
+    # pad up to roi when the volume is smaller
+    pads = [(0, max(r - s, 0)) for r, s in zip(roi_size, spatial)]
+    if any(p[1] for p in pads):
+        image = jnp.pad(image, [(0, 0), (0, 0)] + pads)
+    padded = image.shape[2:]
+
+    grids = [_grid_positions(padded[d], roi_size[d], overlap) for d in range(nd)]
+    positions = [()]
+    for axis_starts in grids:
+        positions = [p + (s,) for p in positions for s in axis_starts]
+
+    if mode == "gaussian":
+        importance = jnp.asarray(_gaussian_importance(roi_size))
+    else:
+        importance = jnp.ones(tuple(roi_size), jnp.float32)
+
+    img_cl = jnp.moveaxis(image, 1, -1)  # (B, *padded, C)
+    B = image.shape[0]
+    oc = out_channels
+    out = None
+    norm = jnp.zeros((1,) + tuple(padded) + (1,), jnp.float32)
+
+    for pos in positions:
+        start = (0,) + tuple(pos) + (0,)
+        sizes = (B,) + tuple(roi_size) + (img_cl.shape[-1],)
+        tile = jax.lax.dynamic_slice(img_cl, start, sizes)
+        logits = apply_fn({"params": params}, tile)
+        if out is None:
+            oc = logits.shape[-1] if oc is None else oc
+            out = jnp.zeros((B,) + tuple(padded) + (oc,), jnp.float32)
+        w = importance[..., None]
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, start, (B,) + tuple(roi_size) + (oc,))
+            + logits.astype(jnp.float32) * w, start)
+        norm = jax.lax.dynamic_update_slice(
+            norm, jax.lax.dynamic_slice(norm, (0,) + tuple(pos) + (0,),
+                                        (1,) + tuple(roi_size) + (1,)) + w,
+            (0,) + tuple(pos) + (0,))
+
+    out = out / norm
+    out = jnp.moveaxis(out, -1, 1)
+    return out[(slice(None), slice(None)) + tuple(slice(0, s) for s in spatial)]
+
+
+def make_sliding_window_fn(roi_size: Sequence[int], apply_fn: Callable,
+                           overlap: float = 0.25, mode: str = "constant"):
+    """jit-compiled closure over the tiling config (compile once per shape)."""
+    return jax.jit(partial(sliding_window_inference, roi_size=tuple(roi_size),
+                           apply_fn=apply_fn, overlap=overlap, mode=mode),
+                   static_argnames=())
