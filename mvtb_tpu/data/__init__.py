@@ -4,10 +4,20 @@ from mvtb_tpu.data.synthetic import batches, decathlon_style_dicts, make_volume
 from mvtb_tpu.data.pipeline import Loader, brats_train_pipeline, brats_val_pipeline
 from mvtb_tpu.data.nifti import DecathlonDataset, read_nifti, reference_val_split
 from mvtb_tpu.data.slices import RandConcatd, Sliced
+from mvtb_tpu.data.tcga import (
+    domain_loaders,
+    generalization_gap,
+    partition_dataset,
+    synthetic_hospital_samples,
+    tcga_train_pipeline,
+    tcga_val_pipeline,
+)
 
 __all__ = [
     "batches", "decathlon_style_dicts", "make_volume",
     "Loader", "brats_train_pipeline", "brats_val_pipeline",
     "DecathlonDataset", "read_nifti", "reference_val_split",
     "RandConcatd", "Sliced",
+    "domain_loaders", "generalization_gap", "partition_dataset",
+    "synthetic_hospital_samples", "tcga_train_pipeline", "tcga_val_pipeline",
 ]

@@ -203,6 +203,16 @@ _register(ExperimentConfig(
     train_stylize=StylizeConfig(spike=True, spike_range=(9.0, 11.0),
                                 spike_prob=0.1)))
 
+# Decathlon Heart (Task02) & Spleen (Task09) augmentation variants
+# (30_augmentation/6_spleen/baseline_spleen.py:152-160 pattern)
+for organ in ["heart", "spleen"]:
+    _register(ExperimentConfig(
+        name=f"baseline_{organ}", in_channels=1, out_channels=1, epochs=110))
+    _register(ExperimentConfig(
+        name=f"{organ}_augment_gibbs", in_channels=1, out_channels=1,
+        epochs=110,
+        train_stylize=StylizeConfig(gibbs_alpha=(0.0, 0.4), gibbs_prob=0.1)))
+
 # --- learnable-layer (GD) experiments (350_stylized_layers/) -----------------
 
 for a0 in [0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]:

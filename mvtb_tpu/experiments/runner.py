@@ -221,6 +221,71 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     return {"history": history, "g_state": g_state, "d_state": d_state}
 
 
+def run_domain_experiment(config: Union[str, ExperimentConfig], *,
+                          epochs: Optional[int] = None,
+                          steps_per_epoch: int = 8, seed: int = 0,
+                          n_per_hospital: int = 8,
+                          workdir: Optional[str] = None,
+                          verbose: bool = True) -> Dict:
+    """Hold-out-hospital experiment: train on 3 domains, evaluate per-domain
+    + held-out, report the generalization gap (the TCGA
+    institutional-distribution protocol, ``baseline_domain.py`` +
+    ``TCGA_hospital_distribution_test.ipynb``)."""
+    from mvtb_tpu.data.tcga import domain_loaders, generalization_gap
+    from mvtb_tpu.eval.harness import ModelEvaluation
+    from mvtb_tpu.models import UNet
+    from mvtb_tpu.train import (create_seg_state, reference_optimizer,
+                                seg_train_step)
+
+    cfg = get_config(config) if isinstance(config, str) else config
+    epochs = cfg.epochs if epochs is None else epochs
+    log = print if verbose else (lambda *_: None)
+
+    train_loader, val_loaders = domain_loaders(
+        batch_size=cfg.batch_size, n_per_hospital=n_per_hospital, seed=seed,
+        spatial=cfg.spatial)
+
+    model = UNet(out_channels=cfg.out_channels, channels=cfg.channels,
+                 strides=cfg.strides, num_res_units=cfg.num_res_units,
+                 dtype=jnp.dtype(cfg.model_dtype))
+    state = create_seg_state(jax.random.key(seed), model,
+                             (1,) + cfg.spatial + (cfg.in_channels,),
+                             tx=reference_optimizer(cfg.lr, cfg.weight_decay))
+
+    key = jax.random.key(seed + 1)
+    losses = []
+    for epoch in range(epochs):
+        step = 0
+        for batch in train_loader:
+            key, sub = jax.random.split(key)
+            state, loss = seg_train_step(state, jnp.asarray(batch["image"]),
+                                         jnp.asarray(batch["label"]), sub,
+                                         cfg.train_stylize)
+            losses.append(float(loss))
+            step += 1
+            if step >= steps_per_epoch:
+                break
+        log(f"[{cfg.name}|domain] epoch {epoch + 1}/{epochs} "
+            f"loss {losses[-1]:.4f}")
+
+    ev = ModelEvaluation(state.apply_fn, state.params, out_channels=1,
+                         instance_name=cfg.name)
+    for name, loader in val_loaders.items():
+        ev.add_eval(name, loader)
+    gap = generalization_gap({k: float(v) for k, v in ev.eval_dict.items()})
+    log(f"[{cfg.name}|domain] in-dist {gap['in_dist_mean']:.4f} "
+        f"holdout {gap['holdout']:.4f} gap {gap['gap']:.4f}")
+
+    result = {"losses": losses, "eval_dict": dict(ev.eval_dict), "gap": gap,
+              "state": state}
+    if workdir:
+        os.makedirs(workdir, exist_ok=True)
+        ev.save(os.path.join(workdir, f"{cfg.name}_domain"))
+        with open(os.path.join(workdir, f"{cfg.name}_gap.json"), "w") as f:
+            json.dump(gap, f, indent=2)
+    return result
+
+
 def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
         steps_per_epoch: int = 8, seed: int = 0,
         workdir: Optional[str] = None, verbose: bool = True) -> Dict:

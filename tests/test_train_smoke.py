@@ -90,3 +90,18 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert mgr.best_step == 1
     mgr.close()
+
+
+def test_domain_experiment_smoke(tmp_path):
+    from mvtb_tpu.experiments import run_domain_experiment
+
+    cfg = ExperimentConfig(name="domain_smoke", in_channels=1, out_channels=1,
+                           spatial=(16, 16, 8), channels=(4, 8), strides=(2,),
+                           batch_size=2)
+    out = run_domain_experiment(cfg, epochs=1, steps_per_epoch=2,
+                                n_per_hospital=4, workdir=str(tmp_path),
+                                verbose=False)
+    assert set(out["eval_dict"]) == {"hospital_A", "hospital_B", "hospital_C",
+                                     "holdout"}
+    assert np.isfinite(out["gap"]["normalized_gap"])
+    assert (tmp_path / "domain_smoke_gap.json").exists()
