@@ -63,6 +63,24 @@ def batches(seed: int, batch_size: int, channels: int = 4,
         yield np.stack(imgs), np.stack(lbls)
 
 
+def cached_batches(seed: int, batch_size: int, pool: int = 32,
+                   channels: int = 4, spatial: Tuple[int, ...] = (128, 128, 64),
+                   n_classes: int = 3) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    """Endless batches sampled from a pre-generated in-memory pool.
+
+    The analogue of the reference's ``CacheDataset``: volume synthesis (like
+    its NIfTI decode + preprocessing) is paid once, so a 1-core host can feed
+    the TPU at step rate.
+    """
+    rng = np.random.RandomState(seed)
+    volumes = [make_volume(rng, channels, spatial, n_classes)
+               for _ in range(pool)]
+    while True:
+        idx = rng.randint(0, pool, batch_size)
+        yield (np.stack([volumes[i][0] for i in idx]),
+               np.stack([volumes[i][1] for i in idx]))
+
+
 def decathlon_style_dicts(seed: int, n: int, channels: int = 4,
                           spatial: Tuple[int, ...] = (128, 128, 64),
                           n_classes: int = 3):
