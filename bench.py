@@ -23,6 +23,10 @@ import time
 
 import numpy as np
 
+from mvtb_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 SPATIAL = (240, 240, 155)
 CHANNELS = 4
 BATCH = 4

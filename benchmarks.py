@@ -1,0 +1,206 @@
+"""Measure all five BASELINE.json benchmark configs on the TPU.
+
+Writes BENCHMARKS.md (and prints each result). ``bench.py`` remains the
+single-line driver entry point (config #3, the north-star metric); this
+script is the full record. All timings use the device-loop slope method
+(see bench.py for why).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvtb_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+from mvtb_tpu.ops.fused import StylizeConfig, stylize_batch
+
+
+def loop_time(op, x, lo=2, hi=12):
+    """ms per iteration of ``op(x, i)`` via fori_loop slope (single fetch)."""
+
+    def body(i, carry):
+        v, acc = carry
+        out = op(v, i + (acc * 0).astype(jnp.int32))
+        return (v, jnp.ravel(out)[0].astype(jnp.float32))
+
+    run = jax.jit(lambda v, k: jax.lax.fori_loop(0, k, body,
+                                                 (v, jnp.float32(0)))[1],
+                  static_argnums=1)
+    float(run(x, lo))
+    float(run(x, hi))
+
+    def t(k):
+        t0 = time.perf_counter()
+        float(run(x, k))
+        return time.perf_counter() - t0
+
+    tl = min(t(lo), t(lo))
+    th = min(t(hi), t(hi))
+    return (th - tl) / (hi - lo) * 1e3
+
+
+def config1():
+    """2D single-channel Gibbs on a 240x240 T2 slice."""
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 240, 240), np.float32)
+    cfg = StylizeConfig(n_dims=2, disk_r=30.0)
+    ms = loop_time(lambda v, i: stylize_batch(
+        v, jax.random.fold_in(jax.random.key(0), i), cfg), x)
+    return {"name": "2d_gibbs_240x240_slice", "ms_per_item": ms,
+            "items_per_sec": 1e3 / ms, "unit": "slices/sec"}
+
+
+def config2():
+    """Full 2D corruption suite, one-channel slices, batch 32."""
+    x = jnp.asarray(np.random.RandomState(0).randn(32, 1, 240, 240), np.float32)
+    cfg = StylizeConfig(n_dims=2, gibbs_alpha=(0.2, 0.6), wrap_alpha=0.5,
+                        spike=True, spike_range=(11.0, 12.0), sap_p=0.05)
+    ms = loop_time(lambda v, i: stylize_batch(
+        v, jax.random.fold_in(jax.random.key(0), i), cfg), x)
+    return {"name": "2d_full_suite_batch32", "ms_per_batch": ms,
+            "items_per_sec": 32 * 1e3 / ms, "unit": "slices/sec"}
+
+
+def config3():
+    """3D 4-channel 240x240x155 fused stylization (the bench.py headline)."""
+    B = 4
+    x = jnp.asarray(np.random.RandomState(0).randn(B, 4, 240, 240, 155),
+                    np.float32)
+    cfg = StylizeConfig(disk_r=(10.0, 25.0), plane_axes=(55.0, 55.0, 30.0),
+                        plane_intensity=14.0, spike=True,
+                        spike_range=(12.0, 13.0), wrap_alpha=0.5, sap_p=0.05)
+    ms = loop_time(lambda v, i: stylize_batch(
+        v, jax.random.fold_in(jax.random.key(0), i), cfg), x)
+    return {"name": "3d_fused_240x240x155_4ch", "ms_per_batch": ms,
+            "items_per_sec": B * 1e3 / ms, "unit": "volumes/sec"}
+
+
+def config4():
+    """3D UNet train step (fwd+bwd) with on-device augmentation, batch 4."""
+    from mvtb_tpu.models import UNet
+    from mvtb_tpu.train import create_seg_state
+    from mvtb_tpu.train.losses import dice_loss
+
+    B, SP = 4, (128, 128, 64)
+    model = UNet(out_channels=3, dtype=jnp.bfloat16)
+    state = create_seg_state(jax.random.key(0), model, (1,) + SP + (4,))
+    img = jnp.asarray(np.random.RandomState(0).randn(B, 4, *SP), np.float32)
+    lbl = jnp.asarray((np.random.RandomState(1).rand(B, 3, *SP) > 0.8),
+                      np.float32)
+    cfg = StylizeConfig(disk_r=(10.0, 25.0), sap_p=0.05)
+    params = state.params
+    opt_state = state.opt_state
+    tx = state.tx
+
+    def step(carry, i):
+        params, opt_state = carry
+        key = jax.random.fold_in(jax.random.key(0), i)
+        x = stylize_batch(img, key, cfg)
+
+        def loss_fn(p):
+            logits = model.apply({"params": p}, jnp.moveaxis(x, 1, -1))
+            return dice_loss(logits, jnp.moveaxis(lbl, 1, -1))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    def run(k):
+        def body(i, carry):
+            c, _ = step(carry[0], i)
+            return (c, jnp.float32(0))
+        (p, _), _ = jax.lax.fori_loop(0, k, body,
+                                      ((params, opt_state), jnp.float32(0)))
+        return jax.tree.leaves(p)[0].ravel()[0].astype(jnp.float32)
+
+    runj = jax.jit(run, static_argnums=0)
+    float(runj(2))
+    float(runj(8))
+
+    def t(k):
+        t0 = time.perf_counter()
+        float(runj(k))
+        return time.perf_counter() - t0
+
+    ms = (min(t(8), t(8)) - min(t(2), t(2))) / 6 * 1e3
+    return {"name": "3d_unet_train_step_b4_128x128x64_bf16",
+            "ms_per_step": ms, "items_per_sec": B * 1e3 / ms,
+            "unit": "volumes/sec"}
+
+
+def config5():
+    """DCGAN generator+discriminator training iteration, batch 4."""
+    from mvtb_tpu.models import Discriminator, Generator
+    from mvtb_tpu.train.gan import create_gan_state, dcgan_step
+
+    B, nz = 4, 100
+    g = Generator(nz=nz, ngf=128, nc=1)
+    d = Discriminator(nc=1, ndf=128)
+    g_state = create_gan_state(jax.random.key(0), g, (B, 1, 1, nz))
+    d_state = create_gan_state(jax.random.key(1), d, (B, 128, 128, 1))
+    real = jnp.asarray(np.tanh(np.random.RandomState(0).randn(B, 128, 128, 1)),
+                       np.float32)
+
+    def run(k):
+        def body(i, carry):
+            gs, ds = carry
+            z = jax.random.normal(jax.random.fold_in(jax.random.key(2), i),
+                                  (B, 1, 1, nz))
+            gs, ds, _ = dcgan_step(gs, ds, real, z)
+            return (gs, ds)
+        gs, _ = jax.lax.fori_loop(0, k, body, (g_state, d_state))
+        return jax.tree.leaves(gs.params)[0].ravel()[0].astype(jnp.float32)
+
+    runj = jax.jit(run, static_argnums=0)
+    float(runj(2))
+    float(runj(8))
+
+    def t(k):
+        t0 = time.perf_counter()
+        float(runj(k))
+        return time.perf_counter() - t0
+
+    ms = (min(t(8), t(8)) - min(t(2), t(2))) / 6 * 1e3
+    return {"name": "dcgan_train_iter_b4_128x128", "ms_per_iter": ms,
+            "unit": "iters/sec", "items_per_sec": 1e3 / ms}
+
+
+def main():
+    results = []
+    for fn in (config1, config2, config3, config4, config5):
+        r = fn()
+        print(json.dumps(r), flush=True)
+        results.append(r)
+
+    lines = [
+        "# BENCHMARKS — TPU v5e (1 chip), measured",
+        "",
+        "All five BASELINE.json configs, device-loop slope timing",
+        "(see bench.py). Regenerate with `python benchmarks.py`.",
+        "",
+        "| # | Config | Time | Throughput |",
+        "|---|---|---|---|",
+    ]
+    keys = ["ms_per_item", "ms_per_batch", "ms_per_step", "ms_per_iter"]
+    for i, r in enumerate(results, 1):
+        tkey = next(k for k in keys if k in r)
+        lines.append(f"| {i} | {r['name']} | {r[tkey]:.2f} ms "
+                     f"({tkey.replace('_', ' ')}) | "
+                     f"{r['items_per_sec']:.1f} {r['unit']} |")
+    lines.append("")
+    with open("BENCHMARKS.md", "w") as f:
+        f.write("\n".join(lines))
+    print("wrote BENCHMARKS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,8 +1,9 @@
 """Data pipelines: synthetic generator, NIfTI ingest, MONAI-equivalent preprocessing."""
 
-from mvtb_tpu.data.synthetic import batches, decathlon_style_dicts, make_volume
+from mvtb_tpu.data.synthetic import batches, cached_batches, decathlon_style_dicts, make_volume
 from mvtb_tpu.data.pipeline import Loader, brats_train_pipeline, brats_val_pipeline
 from mvtb_tpu.data.nifti import DecathlonDataset, read_nifti, reference_val_split
+from mvtb_tpu.data.prefetch import device_prefetch
 from mvtb_tpu.data.slices import RandConcatd, Sliced
 from mvtb_tpu.data.tcga import (
     domain_loaders,
@@ -14,7 +15,8 @@ from mvtb_tpu.data.tcga import (
 )
 
 __all__ = [
-    "batches", "decathlon_style_dicts", "make_volume",
+    "batches", "cached_batches", "decathlon_style_dicts", "make_volume",
+    "device_prefetch",
     "Loader", "brats_train_pipeline", "brats_val_pipeline",
     "DecathlonDataset", "read_nifti", "reference_val_split",
     "RandConcatd", "Sliced",

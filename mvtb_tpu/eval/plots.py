@@ -90,6 +90,38 @@ def plot_model_performance(eval_dicts: Dict[str, Dict], path: str,
     return path
 
 
+def save_image_grid(images, path: str, nrow: int = 8, title: str = "",
+                    normalize: bool = True) -> str:
+    """Tile a batch of (B, H, W, C) images into one PNG — the reference's
+    ``vutils.make_grid`` fixed-noise snapshots (``dcgan.py:148-151``,
+    ``reconGan_freq.py:162-171``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    arr = np.asarray(images, dtype=np.float32)
+    if arr.ndim == 3:
+        arr = arr[..., None]
+    b, h, w, c = arr.shape
+    if normalize:
+        lo, hi = arr.min(), arr.max()
+        arr = (arr - lo) / (hi - lo + 1e-8)
+    rows = -(-b // nrow)
+    grid = np.zeros((rows * (h + 2), min(b, nrow) * (w + 2), c), np.float32)
+    for i in range(b):
+        r, col = divmod(i, nrow)
+        grid[r * (h + 2):r * (h + 2) + h, col * (w + 2):col * (w + 2) + w] = arr[i]
+    fig, ax = plt.subplots(figsize=(min(b, nrow) * 1.5, rows * 1.5))
+    ax.imshow(grid[..., 0] if c == 1 else grid, cmap="gray" if c == 1 else None)
+    ax.set_axis_off()
+    ax.set_title(title)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def save_alpha_trajectory(trajectory: Sequence[float], path: str,
                           title: str = "Gibbs alpha trajectory") -> str:
     """Stylization-parameter trajectory plot (the GD experiments log these

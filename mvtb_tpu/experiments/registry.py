@@ -49,6 +49,9 @@ class ExperimentConfig:
     fd_h: float = 0.01
     fd_lr: float = 0.02
     spike_intensity: float = 11.0
+    freeze_unet: bool = False       # train only the stylization parameter
+    unet_optimizer: str = "adam"    # "adam" | "sgd" (reference GD variants)
+    transfer_from: Optional[str] = None  # checkpoint dir to warm-start from
     # GAN experiments
     gan_lr: float = 2e-4
     gan_beta1: float = 0.5
@@ -229,6 +232,20 @@ for i in [9, 11, 13]:
         name=f"spikes{i}_layer_GD", kind="learnable_spikes",
         in_channels=1, out_channels=1, epochs=110, spike_intensity=float(i),
         fd_mode=True, fd_h=0.05, fd_lr=0.1))
+
+# GD variants: frozen UNet, SGD, lr sweep (SURVEY 2.3 "variants")
+_register(ExperimentConfig(
+    name="gibbs0p7_layer_GD_frozen", kind="learnable_gibbs", in_channels=1,
+    out_channels=1, epochs=110, alpha0=0.7, fd_mode=True, freeze_unet=True))
+_register(ExperimentConfig(
+    name="gibbs0p7_layer_GD_sgd", kind="learnable_gibbs", in_channels=1,
+    out_channels=1, epochs=110, alpha0=0.7, fd_mode=True,
+    unet_optimizer="sgd"))
+for lr in [0.005, 0.02, 0.08]:
+    _register(ExperimentConfig(
+        name=f"gibbs0p7_layer_GD_lr{str(lr).replace('.', 'p')}",
+        kind="learnable_gibbs", in_channels=1, out_channels=1, epochs=110,
+        alpha0=0.7, fd_mode=True, fd_lr=lr))
 
 # --- GANs (50_reconstruction/, 351_adversarial_gibbs/) -----------------------
 

@@ -115,6 +115,17 @@ def _run_segmentation(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     if ckpt is not None:
         ckpt.wait()
         ckpt.close()
+    if workdir:
+        from mvtb_tpu.eval.plots import (save_learning_curves,
+                                         save_per_class_curves)
+
+        save_learning_curves(history, os.path.join(
+            workdir, f"trainLoss_and_meanValScore_{cfg.name}.png"),
+            cfg.val_interval, title=cfg.name)
+        if history["dice"]:
+            save_per_class_curves(history, os.path.join(
+                workdir, f"meanValScore_per_label_{cfg.name}.png"),
+                title=cfg.name)
     return {"history": history, "best_dice": best, "state": state}
 
 
@@ -133,9 +144,18 @@ def _run_learnable(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                            out_channels=cfg.out_channels, channels=cfg.channels,
                            strides=cfg.strides, num_res_units=cfg.num_res_units)
 
+    transfer_params = None
+    if cfg.transfer_from:
+        from mvtb_tpu.eval.harness import ModelEvaluation
+
+        transfer_params = ModelEvaluation.from_checkpoint(
+            cfg.transfer_from, in_channels=cfg.in_channels,
+            out_channels=cfg.out_channels).params
     state = create_learnable_state(
         jax.random.key(seed), model,
-        (cfg.batch_size, cfg.in_channels) + cfg.spatial)
+        (cfg.batch_size, cfg.in_channels) + cfg.spatial,
+        freeze_unet=cfg.freeze_unet, unet_optimizer=cfg.unet_optimizer,
+        transfer_params=transfer_params)
 
     train_it = _data_iter(cfg, seed, cfg.batch_size)
     trajectory, losses = [], []
@@ -156,8 +176,12 @@ def _run_learnable(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
             f"loss {losses[-1]:.4f} alpha {trajectory[-1]:.4f}")
 
     if workdir:
+        from mvtb_tpu.eval.plots import save_alpha_trajectory
+
         np.savetxt(os.path.join(workdir, f"gibbs_trajectory_{cfg.name}.txt"),
                    np.asarray(trajectory))
+        save_alpha_trajectory(trajectory, os.path.join(
+            workdir, f"trajectory_{cfg.name}.png"), title=cfg.name)
     return {"trajectory": trajectory, "losses": losses, "state": state}
 
 
@@ -191,6 +215,17 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                 history["d_loss"].append(float(m["d_loss"]))
             log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
                 f"G {history['g_loss'][-1]:.3f} D {history['d_loss'][-1]:.3f}")
+        if workdir:
+            from mvtb_tpu.eval.plots import save_image_grid
+
+            z = jax.random.normal(jax.random.key(123),
+                                  (16, 1, 1, cfg.nz))
+            fake = g_state.apply_fn(
+                {"params": g_state.params,
+                 "batch_stats": g_state.batch_stats}, z, train=False)
+            save_image_grid(np.asarray(fake), os.path.join(
+                workdir, f"samples_{cfg.name}.png"), nrow=4,
+                title=f"{cfg.name} samples")
         return {"history": history, "g_state": g_state, "d_state": d_state}
 
     # ReconGAN family
@@ -218,6 +253,20 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
             history["d_loss"].append(float(m["d_loss"]))
         log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
             f"G {history['g_loss'][-1]:.3f} D {history['d_loss'][-1]:.3f}")
+    if workdir:
+        from mvtb_tpu.eval.plots import save_image_grid
+
+        real = jnp.asarray(next(data_it))
+        key, sub = jax.random.split(key)
+        g_state2, d_state2, _ = recon_gan_step(
+            g_state, d_state, real, sub, zf_p=cfg.zf_p,
+            alpha=cfg.cyclic_alpha, gamma=cfg.cyclic_gamma,
+            freq_domain=freq, compress_kind=compress_kind,
+            pre_corrupt_real=(cfg.kind == "gibbs_gan"))
+        fake = g_state.apply_fn({"params": g_state.params}, real)
+        save_image_grid(np.asarray(fake[..., :1]), os.path.join(
+            workdir, f"samples_{cfg.name}.png"), nrow=4,
+            title=f"{cfg.name} reconstructions")
     return {"history": history, "g_state": g_state, "d_state": d_state}
 
 

@@ -21,9 +21,6 @@ cross-chip traffic is the two all_to_alls riding ICI.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -121,7 +118,6 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
 
     def local_fn(xl: Array, key) -> Array:
         idx = jax.lax.axis_index(axis_name)
-        h_local = H // n_shards
         w_local = W // n_shards
 
         # 1) local FFT over (W, D)

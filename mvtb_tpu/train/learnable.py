@@ -109,11 +109,40 @@ def fd_train_step(state: TrainState, image: Array, label: Array,
 
 
 def create_learnable_state(key: jax.Array, model, input_shape_cf,
-                           tx: Optional[object] = None) -> TrainState:
-    """Init a channel-first stylization model (GibbsUNet/SpikesUNet)."""
+                           tx: Optional[object] = None,
+                           freeze_unet: bool = False,
+                           unet_optimizer: str = "adam",
+                           transfer_params=None) -> TrainState:
+    """Init a channel-first stylization model (GibbsUNet/SpikesUNet).
+
+    ``freeze_unet`` zeroes network updates so only the stylization parameter
+    trains; ``unet_optimizer="sgd"`` swaps the network optimizer (reference
+    GD variants); ``transfer_params`` warm-starts the UNet from another
+    model's params (the transfer-from-baseline variant,
+    ``gibbs0p7_layer_domain_GD.py:218-233``).
+    """
+    import optax
+
     from mvtb_tpu.train.seg import reference_optimizer
 
     rngs = {"params": key, "corruption": jax.random.fold_in(key, 1)}
     variables = jax.jit(model.init)(rngs, jnp.zeros(input_shape_cf, jnp.float32))
-    return TrainState.create(apply_fn=model.apply, params=variables["params"],
-                             tx=tx or reference_optimizer())
+    params = variables["params"]
+    if transfer_params is not None:
+        params = {**params, "unet": transfer_params["unet"]
+                  if "unet" in transfer_params else transfer_params}
+
+    if tx is None:
+        base = (optax.sgd(1e-4) if unet_optimizer == "sgd"
+                else reference_optimizer())
+        if freeze_unet:
+            styl_key = _styl_path(params)[0]
+
+            def label_fn(p):
+                return {k: ("styl" if k == styl_key else "frozen") for k in p}
+
+            tx = optax.multi_transform(
+                {"styl": base, "frozen": optax.set_to_zero()}, label_fn)
+        else:
+            tx = base
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)

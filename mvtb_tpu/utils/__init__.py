@@ -24,3 +24,16 @@ def set_determinism(seed: int = 0):
 
 
 __all__ += ["set_determinism"]
+
+
+def enable_compilation_cache(path: str = "/tmp/mvtb_jax_cache") -> None:
+    """Persistent XLA compilation cache: identical programs (by HLO hash)
+    skip recompilation across processes — valuable on this machine, where
+    remote TPU compiles can take minutes under load."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+__all__ += ["enable_compilation_cache"]
