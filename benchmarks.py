@@ -49,9 +49,12 @@ def loop_time(op, x, lo=2, hi=12):
 def config1():
     """2D single-channel Gibbs on a 240x240 T2 slice."""
     x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 240, 240), np.float32)
-    cfg = StylizeConfig(n_dims=2, disk_r=30.0)
+    # sampled radius keeps per-iteration work live (a fixed radius makes the
+    # whole body loop-invariant and XLA hoists it out of the timing loop)
+    cfg = StylizeConfig(n_dims=2, disk_r=(29.9, 30.1))
     ms = loop_time(lambda v, i: stylize_batch(
-        v, jax.random.fold_in(jax.random.key(0), i), cfg), x)
+        v * (1 + 1e-7 * i), jax.random.fold_in(jax.random.key(0), i), cfg), x,
+        lo=20, hi=520)  # 2D op is sub-ms; long loops for slope resolution
     return {"name": "2d_gibbs_240x240_slice", "ms_per_item": ms,
             "items_per_sec": 1e3 / ms, "unit": "slices/sec"}
 
@@ -62,7 +65,8 @@ def config2():
     cfg = StylizeConfig(n_dims=2, gibbs_alpha=(0.2, 0.6), wrap_alpha=0.5,
                         spike=True, spike_range=(11.0, 12.0), sap_p=0.05)
     ms = loop_time(lambda v, i: stylize_batch(
-        v, jax.random.fold_in(jax.random.key(0), i), cfg), x)
+        v, jax.random.fold_in(jax.random.key(0), i), cfg), x,
+        lo=10, hi=110)
     return {"name": "2d_full_suite_batch32", "ms_per_batch": ms,
             "items_per_sec": 32 * 1e3 / ms, "unit": "slices/sec"}
 
@@ -98,37 +102,34 @@ def config4():
     opt_state = state.opt_state
     tx = state.tx
 
-    def step(carry, i):
-        params, opt_state = carry
-        key = jax.random.fold_in(jax.random.key(0), i)
-        x = stylize_batch(img, key, cfg)
-
-        def loss_fn(p):
-            logits = model.apply({"params": p}, jnp.moveaxis(x, 1, -1))
-            return dice_loss(logits, jnp.moveaxis(lbl, 1, -1))
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
+    # state and batch pass through jit arguments (closure capture would
+    # embed the 4.8M-param weights as HLO constants — huge remote uploads)
+    def run(k, params, opt_state, img, lbl):
         import optax
 
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), loss
-
-    def run(k):
         def body(i, carry):
-            c, _ = step(carry[0], i)
-            return (c, jnp.float32(0))
-        (p, _), _ = jax.lax.fori_loop(0, k, body,
-                                      ((params, opt_state), jnp.float32(0)))
+            params, opt_state = carry
+            key = jax.random.fold_in(jax.random.key(0), i)
+            x = stylize_batch(img, key, cfg)
+
+            def loss_fn(p):
+                logits = model.apply({"params": p}, jnp.moveaxis(x, 1, -1))
+                return dice_loss(logits, jnp.moveaxis(lbl, 1, -1))
+
+            grads = jax.grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state)
+
+        p, _ = jax.lax.fori_loop(0, k, body, (params, opt_state))
         return jax.tree.leaves(p)[0].ravel()[0].astype(jnp.float32)
 
     runj = jax.jit(run, static_argnums=0)
-    float(runj(2))
-    float(runj(8))
+    float(runj(2, params, opt_state, img, lbl))
+    float(runj(8, params, opt_state, img, lbl))
 
     def t(k):
         t0 = time.perf_counter()
-        float(runj(k))
+        float(runj(k, params, opt_state, img, lbl))
         return time.perf_counter() - t0
 
     ms = (min(t(8), t(8)) - min(t(2), t(2))) / 6 * 1e3
@@ -150,7 +151,9 @@ def config5():
     real = jnp.asarray(np.tanh(np.random.RandomState(0).randn(B, 128, 128, 1)),
                        np.float32)
 
-    def run(k):
+    # states as jit args (closure capture embeds weights in the HLO and
+    # trips the remote-compile request-size limit)
+    def run(k, g_state, d_state, real):
         def body(i, carry):
             gs, ds = carry
             z = jax.random.normal(jax.random.fold_in(jax.random.key(2), i),
@@ -161,12 +164,12 @@ def config5():
         return jax.tree.leaves(gs.params)[0].ravel()[0].astype(jnp.float32)
 
     runj = jax.jit(run, static_argnums=0)
-    float(runj(2))
-    float(runj(8))
+    float(runj(2, g_state, d_state, real))
+    float(runj(8, g_state, d_state, real))
 
     def t(k):
         t0 = time.perf_counter()
-        float(runj(k))
+        float(runj(k, g_state, d_state, real))
         return time.perf_counter() - t0
 
     ms = (min(t(8), t(8)) - min(t(2), t(2))) / 6 * 1e3

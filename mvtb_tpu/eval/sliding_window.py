@@ -10,7 +10,6 @@ program with static shapes (no data-dependent control flow).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Callable, Sequence, Tuple
 

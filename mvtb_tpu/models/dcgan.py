@@ -10,8 +10,6 @@ weights use the DCGAN N(0, 0.02) init (``networks.py:8-14``).
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -20,7 +20,7 @@ through each step as flax mutable collections.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax
 import jax

@@ -65,3 +65,37 @@ def test_compat_disk_mask_and_ellipsoid_objects():
     assert mask.shape == k3.shape
     coord = e.sample_ellipsoid(k3)
     assert len(coord) == 3
+
+
+def test_set_determinism_and_steptimer():
+    import numpy as np
+
+    from mvtb_tpu.utils import StepTimer, set_determinism
+
+    key = set_determinism(0)
+    a = np.random.rand(3)
+    set_determinism(0)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
+    assert key is not None
+
+    t = StepTimer(warmup=1)
+    import time
+    for _ in range(3):
+        with t:
+            time.sleep(0.01)
+    s = t.summary(items_per_step=2)
+    assert s["steps"] == 3 and s["items_per_sec"] > 0
+
+
+def test_compat_show_functions_run():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from mvtb_tpu.compat.utils import WL_to_LH, show, show_slice_and_fourier
+
+    assert WL_to_LH(10, 5) == (0, 10)
+    show(np.random.rand(8, 8), k_space=False)
+    show_slice_and_fourier(np.random.rand(16, 16))
