@@ -12,7 +12,8 @@ from typing import Tuple, Union
 import numpy as np
 
 from mvtb_tpu.eval.harness import ModelEvaluation as model_evaluation  # noqa: F401
-from mvtb_tpu.eval.harness import TransformSweep as BratsValIterDataset  # noqa: F401
+from mvtb_tpu.data.brats_sweep import BratsValIterDataset  # noqa: F401
+from mvtb_tpu.eval.harness import TransformSweep  # noqa: F401
 from mvtb_tpu.transforms import ReCompose  # noqa: F401
 
 

@@ -3,6 +3,7 @@
 from mvtb_tpu.data.synthetic import batches, cached_batches, decathlon_style_dicts, make_volume
 from mvtb_tpu.data.pipeline import Loader, brats_train_pipeline, brats_val_pipeline
 from mvtb_tpu.data.nifti import DecathlonDataset, read_nifti, reference_val_split
+from mvtb_tpu.data.brats_sweep import BratsValIterDataset
 from mvtb_tpu.data.prefetch import device_prefetch
 from mvtb_tpu.data.slices import RandConcatd, Sliced
 from mvtb_tpu.data.tcga import (
@@ -16,7 +17,7 @@ from mvtb_tpu.data.tcga import (
 
 __all__ = [
     "batches", "cached_batches", "decathlon_style_dicts", "make_volume",
-    "device_prefetch",
+    "BratsValIterDataset", "device_prefetch",
     "Loader", "brats_train_pipeline", "brats_val_pipeline",
     "DecathlonDataset", "read_nifti", "reference_val_split",
     "RandConcatd", "Sliced",

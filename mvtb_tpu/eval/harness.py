@@ -57,13 +57,27 @@ class ModelEvaluation:
 
     def __init__(self, apply_fn: Optional[Callable] = None, params=None,
                  instance_name: Optional[str] = None, in_channels: int = 4,
-                 out_channels: int = 3):
+                 out_channels: int = 3,
+                 roi_size: Optional[Tuple[int, ...]] = None):
         self.apply_fn = apply_fn
         self.params = params
         self.instance_name = instance_name
         self.in_channels = in_channels
         self.out_channels = out_channels
+        # roi_size -> evaluate via sliding-window inference (the reference's
+        # TCGA_data_augmentation notebook pattern)
+        self.roi_size = tuple(roi_size) if roi_size else None
         self.eval_dict: Dict[str, object] = defaultdict(list)
+
+    def _forward(self, image_cf):
+        if self.roi_size is not None:
+            from mvtb_tpu.eval.sliding_window import sliding_window_inference
+
+            logits_cf = sliding_window_inference(
+                jnp.asarray(image_cf), self.roi_size, self.apply_fn,
+                self.params)
+            return jnp.moveaxis(logits_cf, 1, -1)
+        return _forward_batch(self.apply_fn, self.params, image_cf)
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, instance_name: Optional[str] = None,
@@ -125,7 +139,7 @@ class ModelEvaluation:
     def dataset_eval_single(self, loader: Iterable[dict]) -> float:
         metric_sum, metric_count = 0.0, 0.0
         for batch in loader:
-            logits = _forward_batch(self.apply_fn, self.params, batch["image"])
+            logits = self._forward(batch["image"])
             lbl = jnp.moveaxis(jnp.asarray(batch["label"]), 1, -1)
             (value, not_nans), _ = _eval_batch(logits, lbl)
             metric_sum += float(value) * float(not_nans)
@@ -136,7 +150,7 @@ class ModelEvaluation:
         sums = np.zeros(4)
         counts = np.zeros(4)
         for batch in loader:
-            logits = _forward_batch(self.apply_fn, self.params, batch["image"])
+            logits = self._forward(batch["image"])
             lbl = jnp.moveaxis(jnp.asarray(batch["label"]), 1, -1)
             (value, not_nans), per_class = _eval_batch(logits, lbl)
             sums[0] += float(value) * float(not_nans)

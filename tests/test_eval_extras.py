@@ -100,3 +100,18 @@ def test_sliced_and_randconcatd():
     # slice index in [25, 35)
     c = np.random.RandomState(0).randint(25, 35)
     np.testing.assert_array_equal(out2["image"][0], d["image"][0, :, :, c])
+
+
+def test_model_evaluation_with_sliding_window_roi():
+    from mvtb_tpu.data.synthetic import make_volume
+    from mvtb_tpu.eval.harness import ModelEvaluation
+
+    model = UNet(out_channels=1, channels=(4, 8), strides=(2,), num_res_units=1)
+    v = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)))
+    ev = ModelEvaluation(model.apply, v["params"], out_channels=1,
+                         roi_size=(8, 8, 8))
+    rng = np.random.RandomState(0)
+    img, lbl = make_volume(rng, 1, (12, 12, 12), 1)
+    batches = [{"image": img[None], "label": lbl[None]}]
+    m = ev.dataset_eval_single(iter(batches))
+    assert np.isfinite(m)
