@@ -1,0 +1,54 @@
+"""CLI: run registry experiments.
+
+    python -m mvtb_tpu.experiments list
+    python -m mvtb_tpu.experiments run gibbs12p5 --epochs 2 --steps 4 \
+        --workdir /tmp/gibbs12p5
+    python -m mvtb_tpu.experiments domain baseline_domain --epochs 2
+
+The config-driven replacement for invoking the reference's per-experiment
+script clones (``python stylized_gibbs12p5.py`` etc.).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="mvtb_tpu.experiments")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registry experiment names")
+
+    for cmd in ("run", "domain"):
+        p = sub.add_parser(cmd, help=f"{cmd} an experiment")
+        p.add_argument("name")
+        p.add_argument("--epochs", type=int, default=None)
+        p.add_argument("--steps", type=int, default=8,
+                       help="steps per epoch (synthetic data)")
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--workdir", default=None)
+        p.add_argument("--quiet", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    from mvtb_tpu.experiments import names, run, run_domain_experiment
+
+    if args.cmd == "list":
+        for n in names():
+            print(n)
+        return 0
+
+    fn = run_domain_experiment if args.cmd == "domain" else run
+    result = fn(args.name, epochs=args.epochs, steps_per_epoch=args.steps,
+                seed=args.seed, workdir=args.workdir, verbose=not args.quiet)
+    summary = {k: v for k, v in result.items()
+               if k in ("best_dice", "gap", "wall_time_s")}
+    print(json.dumps(summary, default=float))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

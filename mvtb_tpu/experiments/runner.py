@@ -77,7 +77,9 @@ def _run_segmentation(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         ckpt = CheckpointManager(os.path.join(workdir, "ckpt"),
                                  best_metric="mean_dice", best_mode="max")
 
-    train_it = _data_iter(cfg, seed, cfg.batch_size)
+    from mvtb_tpu.data.prefetch import device_prefetch
+
+    train_it = device_prefetch(_data_iter(cfg, seed, cfg.batch_size), size=2)
     val_batches = [next(_data_iter(cfg, seed + 1000 + i, cfg.batch_size))
                    for i in range(4)]
 
@@ -257,12 +259,6 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         from mvtb_tpu.eval.plots import save_image_grid
 
         real = jnp.asarray(next(data_it))
-        key, sub = jax.random.split(key)
-        g_state2, d_state2, _ = recon_gan_step(
-            g_state, d_state, real, sub, zf_p=cfg.zf_p,
-            alpha=cfg.cyclic_alpha, gamma=cfg.cyclic_gamma,
-            freq_domain=freq, compress_kind=compress_kind,
-            pre_corrupt_real=(cfg.kind == "gibbs_gan"))
         fake = g_state.apply_fn({"params": g_state.params}, real)
         save_image_grid(np.asarray(fake[..., :1]), os.path.join(
             workdir, f"samples_{cfg.name}.png"), nrow=4,
