@@ -25,7 +25,7 @@ from mvtb_tpu.ops.corruptions import (
     salt_and_pepper,
     rand_zero_fill,
 )
-from mvtb_tpu.ops.fused import stylize_kspace, StylizeConfig
+from mvtb_tpu.ops.fused import StylizeConfig, stylize_batch, stylize_kspace
 
 __all__ = [
     "fft_shifted",
@@ -48,5 +48,6 @@ __all__ = [
     "salt_and_pepper",
     "rand_zero_fill",
     "stylize_kspace",
+    "stylize_batch",
     "StylizeConfig",
 ]
