@@ -1,148 +1,226 @@
-"""SPMD-sharded k-space filtering: full volumes distributed over the mesh.
+"""SPMD-sharded k-space stylization: full volumes distributed over the mesh.
 
 The reference sidesteps full-resolution BraTS volumes by cropping to
 128x128x64 (``baseline.py:128-130``); SURVEY.md section 5 names spatial
 sharding over the mesh as the TPU-native answer for the "big single sample"
-case. This module processes a volume whose H axis is sharded across the
-``data`` mesh axis:
+case. This module runs the COMPLETE corruption stack of
+:class:`~mvtb_tpu.ops.fused.StylizeConfig` on a volume whose H axis is
+sharded across the ``data`` mesh axis:
 
 1. local FFT over the unsharded axes (W, D),
 2. ``all_to_all`` over ICI to trade the sharded axis (H gathers, W splits),
 3. local FFT over the now-complete H axis,
-4. the k-space weight (Gibbs/disk radial mask x wraparound parity) applied
-   per shard from *global* raw-coordinate index grids (iota + shard offset,
-   still nothing materialized in HBM),
-5. inverse transforms mirroring 1-3.
+4. k-space edits from *global* raw-coordinate index grids (iota + shard
+   offset): radial masks and wrap parity as elementwise weights; spike /
+   plane-wave writes as elementwise ``where`` on global-index match (no
+   scatter, no gather); data-dependent spike stats via ``psum``,
+5. inverse transforms mirroring 1-3; salt&pepper in the image domain with
+   global extrema via ``pmin``/``pmax``.
 
-Everything happens inside one ``shard_map``-ed jitted program; the only
-cross-chip traffic is the two all_to_alls riding ICI.
+Key-stream discipline: stages consume PRNG keys in exactly the order of the
+single-chip :func:`~mvtb_tpu.ops.fused.stylize_kspace`, so shared draws
+(sampled radii/alphas, spike locations/intensities, gates) are identical on
+every shard *and* identical to the single-chip path — fixed-location stages
+match it bit-for-bit; only dense random fields (zero-fill, salt&pepper) are
+per-shard streams with the same distribution.
 """
 
 from __future__ import annotations
 
 import math
+
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mvtb_tpu.ops.fused import StylizeConfig, _sample, _gate
+from mvtb_tpu.ops.fused import StylizeConfig, _gate, _sample, _to_raw_index
+from mvtb_tpu.ops.fourier import from_polar
+from mvtb_tpu.ops.masks import ellipsoid_shell_mask
 
 Array = jnp.ndarray
 
 
-def _raw_offset_local(n_global: int, n_local: int, start: Array, spatial,
-                      axis: int) -> Array:
-    """Raw-coordinate offset grid for a *shard* of a global axis.
-
-    Global raw index i in [start, start+n_local); offset-from-center is
-    ``i`` for i < n - floor(n/2) else ``i - n`` (see ops.fused._raw_offset).
-    """
+def _global_offset(n_global: int, start, local_shape, axis: int,
+                   center_delta: float = 0.0) -> Array:
+    """Offset-from-center grid (raw FFT coordinates) for a shard of an axis."""
     c = n_global // 2
-    i = jax.lax.broadcasted_iota(jnp.float32, spatial, axis) + start
-    return jnp.where(i < n_global - c, i, i - n_global)
+    i = jax.lax.broadcasted_iota(jnp.float32, local_shape, axis) + start
+    return jnp.where(i < n_global - c, i, i - n_global) - center_delta
 
 
-def _kspace_weight_local(cfg: StylizeConfig, key, global_shape, local_shape,
-                         shard_starts, rdtype):
-    """Per-shard multiplicative k-space weight from global indices.
-
-    Supports the linear-mask stages (gibbs / disk / wrap); magnitude-domain
-    stages (spikes, plane waves) stay on the single-chip path.
-    """
-    nd = len(global_shape)
-    keys = jax.random.split(key, 8)
-    kit = iter(keys)
-    weight = None
-
-    def offs(center_deltas):
-        total = jnp.zeros(local_shape, jnp.float32)
-        for ax in range(nd):
-            o = _raw_offset_local(global_shape[ax], local_shape[ax],
-                                  shard_starts[ax], local_shape, ax)
-            o = o - center_deltas[ax]
-            total = total + o * o
-        return total
-
-    if cfg.gibbs_alpha is not None:
-        deltas = tuple((n - 1) / 2 - n // 2 for n in global_shape)
-        dist_sq = offs(deltas)
-        alpha = _sample(next(kit), cfg.gibbs_alpha, rdtype)
-        r = (1.0 - alpha) * max(global_shape) * math.sqrt(2.0) / 2.0
-        m = (dist_sq <= r * r).astype(rdtype)
-        g = _gate(next(kit), cfg.gibbs_prob)
-        weight = jnp.where(g, m, jnp.ones((), rdtype))
-    if cfg.disk_r is not None:
-        dist_sq = offs((0.0,) * nd)
-        r = _sample(next(kit), cfg.disk_r, rdtype)
-        inside = dist_sq < r * r
-        m = (jnp.logical_not(inside) if cfg.disk_inside_off else inside).astype(rdtype)
-        g = _gate(next(kit), cfg.disk_prob)
-        m = jnp.where(g, m, jnp.ones((), rdtype))
-        weight = m if weight is None else weight * m
-    if cfg.wrap_alpha is not None:
-        alpha = _sample(next(kit), cfg.wrap_alpha, rdtype)
-        g = _gate(next(kit), cfg.wrap_prob)
-        alpha = jnp.where(g, alpha, jnp.ones((), rdtype))
-        for ax in range(nd):
-            n = global_shape[ax]
-            c = n // 2
-            i = jax.lax.broadcasted_iota(jnp.int32, local_shape, ax) + \
-                shard_starts[ax].astype(jnp.int32)
-            s = jnp.where(i < n - c, i + c, i + c - n)
-            w = jnp.where(s % 2 == 1, alpha, jnp.ones((), rdtype))
-            weight = w if weight is None else weight * w
-    return weight
+def _global_index(n_global: int, start, local_shape, axis: int) -> Array:
+    """Raw global integer index grid for a shard of an axis."""
+    return jax.lax.broadcasted_iota(jnp.int32, local_shape, axis) + \
+        jnp.asarray(start, jnp.int32)
 
 
 def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                            mesh: Mesh, axis_name: str = "data") -> Array:
-    """Fused k-space filtering of one (C, H, W, D) volume sharded over H.
+    """Fused corruption stack on one (C, H, W, D) volume sharded over H.
 
-    Supports the radial-mask + wraparound stages of ``cfg`` (3D). The volume
-    may be given unsharded (it is device_put to ``P(None, 'data')``); the
-    result has the same sharding. H and W must both divide the mesh size.
+    All StylizeConfig stages are supported. The volume may be given
+    unsharded (it is device_put to ``P(None, 'data')``); the result keeps
+    that sharding. H and W must divide the mesh size.
     """
-    if cfg.spike or cfg.plane_axes is not None or cfg.zf_p is not None \
-            or cfg.sap_p is not None:
-        raise NotImplementedError(
-            "sharded path supports gibbs/disk/wrap stages; use the "
-            "single-chip stylize_kspace for magnitude-domain stages")
     if x.ndim != 4:
         raise ValueError("expected (C, H, W, D)")
+    if cfg.n_dims != 3:
+        raise ValueError("sharded path is 3D")
     n_shards = mesh.shape[axis_name]
     C, H, W, D = x.shape
     if H % n_shards or W % n_shards:
         raise ValueError(f"H={H} and W={W} must divide mesh size {n_shards}")
     rdtype = jnp.zeros((), x.dtype).real.dtype
+    spatial = (H, W, D)
 
     def local_fn(xl: Array, key) -> Array:
         idx = jax.lax.axis_index(axis_name)
         w_local = W // n_shards
+        w0 = idx * w_local
+        keys = jax.random.split(key, 16)
+        kit = iter(keys)
+        local_shape = (H, w_local, D)  # spatial block after the axis trade
 
-        # 1) local FFT over (W, D)
-        k = jnp.fft.fftn(xl, axes=(-2, -1))
-        # 2) all_to_all: gather H, split W  -> (C, H, W/n, D)
-        k = jax.lax.all_to_all(k, axis_name, split_axis=2, concat_axis=1,
-                               tiled=True)
-        # 3) local FFT over H
-        k = jnp.fft.fft(k, axis=1)
+        out = xl
+        if cfg.kspace_needed:
+            # 1) local FFT over (W, D); 2) trade H<->W; 3) FFT over H
+            k = jnp.fft.fftn(xl, axes=(-2, -1))
+            k = jax.lax.all_to_all(k, axis_name, split_axis=2, concat_axis=1,
+                                   tiled=True)
+            k = jnp.fft.fft(k, axis=1)
 
-        # 4) per-shard weight from global indices (W is the sharded axis now)
-        shard_starts = (jnp.float32(0.0),
-                        (idx * w_local).astype(jnp.float32),
-                        jnp.float32(0.0))
-        weight = _kspace_weight_local(cfg, key, (H, W, D), (H, w_local, D),
-                                      shard_starts, rdtype)
-        if weight is not None:
-            k = k * weight  # (C, H, W/n, D) * (H, W/n, D) broadcasts over C
+            def dist_sq(center_deltas):
+                total = jnp.zeros(local_shape, jnp.float32)
+                for ax, (n, start, delta) in enumerate(
+                        zip(spatial, (0.0, w0, 0.0), center_deltas)):
+                    o = _global_offset(n, start, local_shape, ax, delta)
+                    total = total + o * o
+                return total
 
-        # 5) inverse: H, then trade back, then (W, D)
-        k = jnp.fft.ifft(k, axis=1)
-        k = jax.lax.all_to_all(k, axis_name, split_axis=1, concat_axis=2,
-                               tiled=True)
-        out = jnp.fft.ifftn(k, axes=(-2, -1))
-        return out.real.astype(x.dtype)
+            # ---- radial masks + wrap parity (same key order as fused) ----
+            weight = None
+            if cfg.gibbs_alpha is not None:
+                deltas = tuple((n - 1) / 2 - n // 2 for n in spatial)
+                dsq = dist_sq(deltas)
+                alpha = _sample(next(kit), cfg.gibbs_alpha, rdtype)
+                r = (1.0 - alpha) * max(spatial) * math.sqrt(2.0) / 2.0
+                m = (dsq <= r * r).astype(rdtype)
+                g = _gate(next(kit), cfg.gibbs_prob)
+                weight = jnp.where(g, m, jnp.ones((), rdtype))
+            if cfg.disk_r is not None:
+                dsq = dist_sq((0.0,) * 3)
+                r = _sample(next(kit), cfg.disk_r, rdtype)
+                inside = dsq < r * r
+                m = (jnp.logical_not(inside) if cfg.disk_inside_off
+                     else inside).astype(rdtype)
+                g = _gate(next(kit), cfg.disk_prob)
+                m = jnp.where(g, m, jnp.ones((), rdtype))
+                weight = m if weight is None else weight * m
+            if cfg.wrap_alpha is not None:
+                alpha = _sample(next(kit), cfg.wrap_alpha, rdtype)
+                g = _gate(next(kit), cfg.wrap_prob)
+                alpha = jnp.where(g, alpha, jnp.ones((), rdtype))
+                for ax, (n, start) in enumerate(zip(spatial, (0, w0, 0))):
+                    c = n // 2
+                    i = _global_index(n, start, local_shape, ax)
+                    s = jnp.where(i < n - c, i + c, i + c - n)
+                    w = jnp.where(s % 2 == 1, alpha, jnp.ones((), rdtype))
+                    weight = w if weight is None else weight * w
+            if weight is not None:
+                k = k * weight
+
+            # ---- zero-fill (per-shard stream, same distribution) ----
+            if cfg.zf_p is not None:
+                u = jax.random.uniform(jax.random.fold_in(next(kit), idx),
+                                       (C,) + local_shape, rdtype)
+                g = _gate(next(kit), cfg.zf_prob)
+                keep = jnp.logical_or(u > cfg.zf_p, jnp.logical_not(g))
+                k = k * keep.astype(rdtype)
+
+            # ---- magnitude-domain edits ----
+            if cfg.spike or cfg.plane_axes is not None:
+                log_abs = jnp.log(jnp.abs(k) + 1e-10)
+                phase = jnp.angle(k)
+                hg = _global_index(H, 0, local_shape, 0)
+                wg = _global_index(W, w0, local_shape, 1)
+                dg = _global_index(D, 0, local_shape, 2)
+
+                if cfg.spike:
+                    if cfg.spike_range is None:
+                        # global per-channel mean log-|k| via psum
+                        local_sum = jnp.sum(log_abs, axis=(-3, -2, -1))
+                        total = jax.lax.psum(local_sum, axis_name)
+                        means = total / (H * W * D)
+                        lo, hi = means * 0.95, means * 1.10
+                    else:
+                        lo = jnp.full((C,), cfg.spike_range[0], rdtype)
+                        hi = jnp.full((C,), cfg.spike_range[1], rdtype)
+                    loc_keys = jax.random.split(next(kit), 3)
+                    if cfg.spike_channel_wise:
+                        locs = [
+                            _to_raw_index(
+                                jax.random.randint(loc_keys[d], (C,), 0,
+                                                   spatial[d]), spatial[d])
+                            for d in range(3)
+                        ]
+                        vals = lo + (hi - lo) * jax.random.uniform(
+                            next(kit), (C,), rdtype)
+                        gates = jax.random.bernoulli(next(kit),
+                                                     cfg.spike_prob, (C,))
+                    else:
+                        shared = [
+                            _to_raw_index(
+                                jax.random.randint(loc_keys[d], (), 0,
+                                                   spatial[d]), spatial[d])
+                            for d in range(3)
+                        ]
+                        locs = [jnp.full((C,), s) for s in shared]
+                        u = jax.random.uniform(next(kit), (), rdtype)
+                        vals = lo + (hi - lo) * u
+                        gates = jnp.full((C,), _gate(next(kit), cfg.spike_prob))
+                    pos = ((hg[None] == locs[0][:, None, None, None]) &
+                           (wg[None] == locs[1][:, None, None, None]) &
+                           (dg[None] == locs[2][:, None, None, None]))
+                    write = pos & gates[:, None, None, None]
+                    log_abs = jnp.where(write, vals[:, None, None, None],
+                                        log_abs)
+
+                if cfg.plane_axes is not None:
+                    a, b, c3 = cfg.plane_axes
+                    shell = jnp.asarray(
+                        ellipsoid_shell_mask(spatial, a, b, c3).ravel())
+                    logits = jnp.where(shell, 0.0, -jnp.inf)
+                    flat = jax.random.categorical(next(kit), logits)
+                    loc = jnp.unravel_index(flat, spatial)
+                    raw = [_to_raw_index(loc[d], spatial[d]) for d in range(3)]
+                    g = _gate(next(kit), cfg.plane_prob)
+                    pos = (hg == raw[0]) & (wg == raw[1]) & (dg == raw[2]) & g
+                    log_abs = jnp.where(pos[None],
+                                        jnp.asarray(cfg.plane_intensity,
+                                                    rdtype), log_abs)
+
+                k = from_polar(jnp.exp(log_abs), phase)
+
+            # ---- inverse: H, trade back, (W, D) ----
+            k = jnp.fft.ifft(k, axis=1)
+            k = jax.lax.all_to_all(k, axis_name, split_axis=1, concat_axis=2,
+                                   tiled=True)
+            out = jnp.fft.ifftn(k, axes=(-2, -1)).real.astype(x.dtype)
+
+        # ---- salt & pepper with global extrema ----
+        if cfg.sap_p is not None:
+            p = _sample(next(kit), cfg.sap_p, rdtype)
+            g = _gate(next(kit), cfg.sap_prob)
+            p = jnp.where(g, p, jnp.zeros((), rdtype))
+            u = jax.random.uniform(jax.random.fold_in(next(kit), idx),
+                                   out.shape, rdtype)
+            lo = jax.lax.pmin(out.min(), axis_name) / 2
+            hi = jax.lax.pmax(out.max(), axis_name) / 2
+            styled = jnp.where(u <= p / 2, lo, out)
+            out = jnp.where((u > p / 2) & (u <= p), hi, styled)
+
+        return out
 
     sharding = NamedSharding(mesh, P(None, axis_name))
     x = jax.device_put(x, sharding)

@@ -25,6 +25,16 @@ def _x(seed=0):
     StylizeConfig(wrap_alpha=0.25),
     StylizeConfig(disk_r=6.0, wrap_alpha=0.5),
     StylizeConfig(gibbs_alpha=0.3, disk_r=7.0, wrap_alpha=0.75),
+    # fixed-location magnitude-domain stages match bit-for-bit too
+    StylizeConfig(spike=True, spike_range=(11.0, 11.0),
+                  spike_channel_wise=False),
+    StylizeConfig(spike=True, spike_range=(10.0, 12.0),
+                  spike_channel_wise=True),
+    StylizeConfig(plane_axes=(6.0, 8.0, 4.0), plane_intensity=10.0),
+    StylizeConfig(disk_r=6.0, wrap_alpha=0.5, spike=True,
+                  spike_range=(11.0, 11.0), spike_channel_wise=False,
+                  plane_axes=(6.0, 8.0, 4.0), plane_intensity=10.0),
+    StylizeConfig(spike=True),  # data-dependent default range (psum stats)
 ])
 def test_sharded_matches_single_chip(cfg):
     x = _x()
@@ -38,11 +48,23 @@ def test_sharded_matches_single_chip(cfg):
     assert len(got.sharding.device_set) == 8
 
 
-def test_sharded_rejects_unsupported_stages():
+def test_sharded_sap_distribution():
     mesh = make_mesh()
-    with pytest.raises(NotImplementedError):
-        stylize_kspace_sharded(_x(), jax.random.key(0),
-                               StylizeConfig(spike=True), mesh)
+    x = _x()
+    cfg = StylizeConfig(sap_p=0.4)
+    out = np.asarray(stylize_kspace_sharded(x, jax.random.key(1), cfg, mesh))
+    xx = np.asarray(x)
+    changed = (out != xx).mean()
+    assert 0.3 < changed < 0.5
+    lo, hi = xx.min() / 2, xx.max() / 2
+    assert np.isclose(out, lo).any() and np.isclose(out, hi).any()
+
+
+def test_sharded_zero_fill_full():
+    mesh = make_mesh()
+    out = stylize_kspace_sharded(_x(), jax.random.key(0),
+                                 StylizeConfig(zf_p=1.0), mesh)
+    assert float(jnp.abs(out).max()) < 1e-4
 
 
 def test_sharded_shape_validation():
