@@ -73,3 +73,28 @@ def test_batch_sharding_spec():
     sh = batch_sharding(mesh, ndim=5)
     assert sh.spec[0] == "data"
     assert all(s is None for s in sh.spec[1:])
+
+
+def test_tensor_parallel_matches_single_device():
+    """(data=4, model=2) mesh: params sharded on output channels, batch on
+    data — GSPMD-partitioned step matches the single-device result."""
+    from mvtb_tpu.parallel.tp import shard_state_tp, tp_param_sharding
+
+    state, image, label = _setup(batch=4)
+    key = jax.random.key(5)
+    s1, loss1 = seg_train_step(state, jnp.asarray(image), jnp.asarray(label), key)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    state_tp = shard_state_tp(mesh, replicate(mesh, state))
+    # at least one conv kernel actually sharded over 'model'
+    sharded = [p for p in jax.tree.leaves(state_tp.params)
+               if "model" in str(p.sharding.spec)]
+    assert sharded, "no parameter got model-sharded"
+    img_s, lbl_s = shard_batch(mesh, image, label)
+    with jax.set_mesh(mesh):
+        s2, loss2 = seg_train_step(state_tp, img_s, lbl_s, key)
+
+    assert abs(float(loss1) - float(loss2)) < 1e-5
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
