@@ -25,19 +25,26 @@ import numpy as np
 from mvtb_tpu.experiments.registry import ExperimentConfig, get as get_config
 
 
-def _data_iter(cfg: ExperimentConfig, seed: int, batch_size: int):
-    """Yield channel-first (image, label) batches honoring select_channel."""
-    from mvtb_tpu.data.synthetic import batches
+def _data_iter(cfg: ExperimentConfig, seed: int, batch_size: int,
+               pool: int = 24):
+    """Yield channel-first (image, label) batches honoring select_channel.
+
+    Batches come from a pre-generated in-memory pool (the CacheDataset
+    pattern) so the single-core host keeps up with the TPU step rate.
+    """
+    from mvtb_tpu.data.synthetic import cached_batches
 
     if cfg.select_channel is not None:
         img_c, lbl_c = cfg.select_channel
-        base = batches(seed, batch_size, channels=4, spatial=cfg.spatial,
-                       n_classes=3)
+        base = cached_batches(seed, batch_size, pool=pool, channels=4,
+                              spatial=cfg.spatial, n_classes=3)
         for img, lbl in base:
             yield img[:, img_c:img_c + 1], lbl[:, lbl_c:lbl_c + 1]
     else:
-        yield from batches(seed, batch_size, channels=cfg.in_channels,
-                           spatial=cfg.spatial, n_classes=cfg.out_channels)
+        yield from cached_batches(seed, batch_size, pool=pool,
+                                  channels=cfg.in_channels,
+                                  spatial=cfg.spatial,
+                                  n_classes=cfg.out_channels)
 
 
 def _slices_iter(cfg: ExperimentConfig, seed: int, batch_size: int):
