@@ -52,29 +52,145 @@ def make_volume(rng: np.random.RandomState, channels: int = 4,
     return image.astype(np.float32), label
 
 
+def _box_smooth(x: np.ndarray, passes: int = 2) -> np.ndarray:
+    """Separable 3-tap box smoothing (tapers sharp region edges)."""
+    for _ in range(passes):
+        for ax in range(x.ndim):
+            x = (x + np.roll(x, 1, ax) + np.roll(x, -1, ax)) / 3.0
+    return x
+
+
+def _band_noise(rng: np.random.RandomState, shape,
+                lo: float, hi: float) -> np.ndarray:
+    """Unit-variance white noise band-passed to the radial band ``[lo, hi)``
+    in *voxel-index* units scaled by ``M = max(shape)/2`` — the same
+    spherical index-space geometry the reference's ``disk_mask`` uses, so a
+    disk filter of radius ``r`` voxels removes the band iff ``r < lo * M``.
+    """
+    x = rng.randn(*shape).astype(np.float32)
+    k = np.fft.rfftn(x)
+    grids = np.meshgrid(*[np.fft.fftfreq(n) * n for n in shape[:-1]]
+                        + [np.fft.rfftfreq(shape[-1]) * shape[-1]],
+                        indexing="ij")
+    r = np.sqrt(sum(g * g for g in grids)) / (max(shape) / 2.0)
+    y = np.fft.irfftn(k * ((r >= lo) & (r < hi)), s=shape)
+    return (y / (y.std() + 1e-6)).astype(np.float32)
+
+
+# Radial band (units of max(shape)/2 voxels) carrying the tumor-texture
+# signal. On a (128, 128, 64) grid this is index radius [14, 27] — entirely
+# OUTSIDE the r=12.5 Gibbs disk, so the reference's flagship stylization
+# erases it (larger radii erase progressively less, as on real MRI).
+_TEXTURE_BAND = (0.22, 0.42)
+# Per-region texture amplitudes: healthy tissue is texture-rich; tumor
+# compartments progressively texture-suppressed ("solid" core) — the local
+# high-band energy is the strongest label cue on clean data.
+_TEX_AMPS = {"out": 1.0, "wt": 0.5, "tc": 0.25, "et": 0.1}
+# Mean offsets that SURVIVE low-pass filtering: the weaker, corruption-robust
+# cue a stylized-trained model can fall back on. They compete with the
+# anatomy band's random local level (amplitude _ANATOMY_AMP below), so a
+# model must read them as a local step at the tumor boundary.
+_OFFSETS = {"wt": 0.5, "tc": 0.3, "et": 0.3}
+_ANATOMY_AMP = 0.6
+
+
+def make_textured_volume(rng: np.random.RandomState, channels: int = 4,
+                         spatial: Tuple[int, ...] = (128, 128, 64),
+                         n_classes: int = 3, return_parts: bool = False):
+    """One textured sample: label information lives in fine-scale texture.
+
+    The plain :func:`make_volume` blobs carry their label signal as a big
+    low-frequency mean offset, so k-space corruption barely hurts a trained
+    model and the reference's robustness-gain effect is unfalsifiable on it
+    (round-1 VERDICT). Here the *discriminative* signal is (a) a strong
+    difference in band-limited high-k texture amplitude between tumor
+    compartments and healthy tissue — which Gibbs/disk filtering at the
+    reference's radii destroys completely — plus (b) a small mean offset
+    that survives low-pass, mirroring how real MRI tumor texture vs
+    intensity behaves (reference baseline 0.7433 -> 0.6101 clean -> gibbs9,
+    BASELINE.md). Tumor geometry is a randomly warped ellipsoid so shape
+    alone is not trivially learnable.
+    """
+    grids = np.ogrid[tuple(slice(0, n) for n in spatial)]
+    center = [rng.uniform(0.35, 0.65) * n for n in spatial]
+    radii = [rng.uniform(0.12, 0.24) * n for n in spatial]
+    q = sum(((g - c) / r) ** 2 for g, c, r in zip(grids, center, radii))
+    # low-order boundary warp: +-25% radius modulation
+    warp = _smooth_noise(rng, spatial, passes=6)
+    warp /= np.abs(warp).max() + 1e-6
+    q = q * (1.0 + 0.25 * warp)
+    wt = q < 1.0
+    tc = q < 0.55
+    et = q < 0.25
+
+    amp = np.full(spatial, _TEX_AMPS["out"], np.float32)
+    amp[wt] = _TEX_AMPS["wt"]
+    amp[tc] = _TEX_AMPS["tc"]
+    amp[et] = _TEX_AMPS["et"]
+    offset = (_OFFSETS["wt"] * wt + _OFFSETS["tc"] * tc
+              + _OFFSETS["et"] * et).astype(np.float32)
+    # taper the region edges: a hard step on the amplitude map leaks texture
+    # energy into low k (AM sidebands), which would let some texture signal
+    # survive the disk filter
+    amp = _box_smooth(amp, 2)
+    offset = _box_smooth(offset, 2)
+
+    chans, parts = [], []
+    for _ in range(channels):
+        anatomy = _ANATOMY_AMP * _band_noise(rng, spatial, 0.0, 0.12)
+        texture = _band_noise(rng, spatial, *_TEXTURE_BAND)
+        gain = 0.7 + 0.6 * rng.rand()  # per-channel contrast variation
+        img = anatomy + amp * texture + gain * offset
+        chans.append(img)
+        parts.append({"anatomy": anatomy, "texture": amp * texture,
+                      "offset": gain * offset})
+    image = np.stack(chans)
+    mu = image.mean(axis=tuple(range(1, image.ndim)), keepdims=True)
+    sd = image.std(axis=tuple(range(1, image.ndim)), keepdims=True) + 1e-6
+    image = (image - mu) / sd
+    if n_classes == 3:
+        label = np.stack([tc, wt, et]).astype(np.float32)
+    elif n_classes == 1:
+        label = wt[None].astype(np.float32)
+    else:
+        raise ValueError("n_classes must be 1 or 3")
+    if return_parts:
+        # components in *normalized* units (per-channel scale applied)
+        scaled = [{k: v / sd[c].ravel()[0] for k, v in p.items()}
+                  for c, p in enumerate(parts)]
+        return image.astype(np.float32), label, scaled
+    return image.astype(np.float32), label
+
+
+_GENERATORS = {"smooth": make_volume, "textured": make_textured_volume}
+
+
 def batches(seed: int, batch_size: int, channels: int = 4,
             spatial: Tuple[int, ...] = (128, 128, 64),
-            n_classes: int = 3) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+            n_classes: int = 3, kind: str = "smooth"
+            ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Endless iterator of (image, label) channel-first batches."""
+    gen = _GENERATORS[kind]
     rng = np.random.RandomState(seed)
     while True:
-        imgs, lbls = zip(*[make_volume(rng, channels, spatial, n_classes)
+        imgs, lbls = zip(*[gen(rng, channels, spatial, n_classes)
                            for _ in range(batch_size)])
         yield np.stack(imgs), np.stack(lbls)
 
 
 def cached_batches(seed: int, batch_size: int, pool: int = 32,
                    channels: int = 4, spatial: Tuple[int, ...] = (128, 128, 64),
-                   n_classes: int = 3) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+                   n_classes: int = 3, kind: str = "smooth"
+                   ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Endless batches sampled from a pre-generated in-memory pool.
 
     The analogue of the reference's ``CacheDataset``: volume synthesis (like
     its NIfTI decode + preprocessing) is paid once, so a 1-core host can feed
     the TPU at step rate.
     """
+    gen = _GENERATORS[kind]
     rng = np.random.RandomState(seed)
-    volumes = [make_volume(rng, channels, spatial, n_classes)
-               for _ in range(pool)]
+    volumes = [gen(rng, channels, spatial, n_classes) for _ in range(pool)]
     while True:
         idx = rng.randint(0, pool, batch_size)
         yield (np.stack([volumes[i][0] for i in idx]),

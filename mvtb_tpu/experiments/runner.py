@@ -34,17 +34,29 @@ def _data_iter(cfg: ExperimentConfig, seed: int, batch_size: int,
     """
     from mvtb_tpu.data.synthetic import cached_batches
 
-    if cfg.select_channel is not None:
+    kind = getattr(cfg, "data_kind", "textured")
+    if cfg.multimodal_channels is not None:
+        # MultimodalSlicesd semantics (baseline_3modalities.py:73-101): one
+        # modality channel drawn uniformly per sample, fixed label channel.
+        rng = np.random.RandomState(seed + 77)
+        base = cached_batches(seed, batch_size, pool=pool, channels=4,
+                              spatial=cfg.spatial, n_classes=3, kind=kind)
+        choices = np.asarray(cfg.multimodal_channels)
+        for img, lbl in base:
+            cs = rng.choice(choices, size=img.shape[0])
+            picked = np.stack([img[b, c] for b, c in enumerate(cs)])[:, None]
+            yield picked, lbl[:, cfg.multimodal_label:cfg.multimodal_label + 1]
+    elif cfg.select_channel is not None:
         img_c, lbl_c = cfg.select_channel
         base = cached_batches(seed, batch_size, pool=pool, channels=4,
-                              spatial=cfg.spatial, n_classes=3)
+                              spatial=cfg.spatial, n_classes=3, kind=kind)
         for img, lbl in base:
             yield img[:, img_c:img_c + 1], lbl[:, lbl_c:lbl_c + 1]
     else:
         yield from cached_batches(seed, batch_size, pool=pool,
                                   channels=cfg.in_channels,
                                   spatial=cfg.spatial,
-                                  n_classes=cfg.out_channels)
+                                  n_classes=cfg.out_channels, kind=kind)
 
 
 def _slices_iter(cfg: ExperimentConfig, seed: int, batch_size: int):
@@ -64,7 +76,8 @@ def _slices_iter(cfg: ExperimentConfig, seed: int, batch_size: int):
 
 
 def _run_segmentation(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
-                      seed: int, workdir: Optional[str], log) -> Dict:
+                      seed: int, workdir: Optional[str], log,
+                      val_batches: int = 12) -> Dict:
     from mvtb_tpu.models import UNet
     from mvtb_tpu.train import (EpochMetrics, create_seg_state, seg_eval_step,
                                 seg_train_step, reference_optimizer)
@@ -87,8 +100,11 @@ def _run_segmentation(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     from mvtb_tpu.data.prefetch import device_prefetch
 
     train_it = device_prefetch(_data_iter(cfg, seed, cfg.batch_size), size=2)
-    val_batches = [next(_data_iter(cfg, seed + 1000 + i, cfg.batch_size))
-                   for i in range(4)]
+    # fixed held-out set: one disjoint-seed pool, `val_batches` batches drawn
+    # once (the reference evaluates a fixed 48-volume split every interval)
+    val_it = _data_iter(cfg, seed + 1000, cfg.batch_size,
+                        pool=max(24, val_batches * cfg.batch_size))
+    val_set = [next(val_it) for _ in range(val_batches)]
 
     key = jax.random.key(seed + 1)
     history = {"loss": [], "dice": [], "epochs": []}
@@ -106,7 +122,7 @@ def _run_segmentation(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
 
         if (epoch + 1) % cfg.val_interval == 0:
             metrics = EpochMetrics()
-            for img, lbl in val_batches:
+            for img, lbl in val_set:
                 key, sub = jax.random.split(key)
                 scores = seg_eval_step(state, jnp.asarray(img),
                                        jnp.asarray(lbl), sub, cfg.val_stylize)
@@ -154,7 +170,9 @@ def _run_learnable(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                            strides=cfg.strides, num_res_units=cfg.num_res_units)
 
     transfer_params = None
-    if cfg.transfer_from:
+    if cfg.transfer_from and os.path.isdir(cfg.transfer_from):
+        # a checkpoint directory on disk; registry names document lineage
+        # only (the warm-start source must have been trained and saved)
         from mvtb_tpu.eval.harness import ModelEvaluation
 
         transfer_params = ModelEvaluation.from_checkpoint(
@@ -164,7 +182,8 @@ def _run_learnable(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         jax.random.key(seed), model,
         (cfg.batch_size, cfg.in_channels) + cfg.spatial,
         freeze_unet=cfg.freeze_unet, unet_optimizer=cfg.unet_optimizer,
-        transfer_params=transfer_params)
+        transfer_params=transfer_params, lr=cfg.lr,
+        weight_decay=cfg.weight_decay)
 
     train_it = _data_iter(cfg, seed, cfg.batch_size)
     trajectory, losses = [], []
@@ -178,7 +197,8 @@ def _run_learnable(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                 state, loss, alpha = fd_train_step(state, img, lbl, sub,
                                                    h=cfg.fd_h, lr=cfg.fd_lr)
             else:
-                state, loss, alpha = learnable_train_step(state, img, lbl, sub)
+                state, loss, alpha = learnable_train_step(
+                    state, img, lbl, sub, train_alpha=cfg.train_alpha)
             trajectory.append(float(alpha))
             losses.append(float(loss))
         log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
@@ -322,9 +342,18 @@ def run_domain_experiment(config: Union[str, ExperimentConfig], *,
 
     ev = ModelEvaluation(state.apply_fn, state.params, out_channels=1,
                          instance_name=cfg.name)
+    if cfg.in_dist_val:
+        # …_GD_inDist protocol: validate on the training hospitals only
+        val_loaders = {k: v for k, v in val_loaders.items() if k != "holdout"}
     for name, loader in val_loaders.items():
         ev.add_eval(name, loader)
-    gap = generalization_gap({k: float(v) for k, v in ev.eval_dict.items()})
+    if cfg.in_dist_val:
+        in_vals = [float(v) for v in ev.eval_dict.values()]
+        mean = float(np.mean(in_vals)) if in_vals else float("nan")
+        gap = {"in_dist_mean": mean, "holdout": float("nan"),
+               "gap": float("nan"), "normalized_gap": float("nan")}
+    else:
+        gap = generalization_gap({k: float(v) for k, v in ev.eval_dict.items()})
     log(f"[{cfg.name}|domain] in-dist {gap['in_dist_mean']:.4f} "
         f"holdout {gap['holdout']:.4f} gap {gap['gap']:.4f}")
 
@@ -340,11 +369,13 @@ def run_domain_experiment(config: Union[str, ExperimentConfig], *,
 
 def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
         steps_per_epoch: int = 8, seed: int = 0,
-        workdir: Optional[str] = None, verbose: bool = True) -> Dict:
+        workdir: Optional[str] = None, verbose: bool = True,
+        val_batches: int = 12) -> Dict:
     """Run one experiment end-to-end; returns history + final state(s).
 
     ``epochs`` overrides the config (use small values for smoke runs; the
-    registry holds the reference's full training lengths).
+    registry holds the reference's full training lengths). ``val_batches``
+    sizes the fixed held-out set used for best-checkpoint selection.
     """
     cfg = get_config(config) if isinstance(config, str) else config
     epochs = cfg.epochs if epochs is None else epochs
@@ -354,7 +385,8 @@ def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
 
     t0 = time.time()
     if cfg.kind == "segmentation":
-        result = _run_segmentation(cfg, steps_per_epoch, epochs, seed, workdir, log)
+        result = _run_segmentation(cfg, steps_per_epoch, epochs, seed, workdir,
+                                   log, val_batches=val_batches)
     elif cfg.kind in ("learnable_gibbs", "learnable_spikes"):
         result = _run_learnable(cfg, steps_per_epoch, epochs, seed, workdir, log)
     elif cfg.kind in ("dcgan", "recon_gan", "recon_gan_freq", "gibbs_gan"):

@@ -13,8 +13,23 @@ volume; generating masks from ``broadcasted_iota`` in raw coordinates makes
 them free and leaves exactly one HBM round trip between the FFTs.
 
 Semantics note: the reference's sequential version projects to the real part
-between corruptions; the fused path stays complex until the final iFFT. For
-bit-parity with the reference use the per-op functions in
+between corruptions; the fused path stays complex until the final iFFT. This
+is mathematically transparent for the reference's stacks — the masks and
+wrap weights are Hermitian-symmetric and a magnitude write at one k-point
+commutes with symmetrization via conjugate pairing — so the fused stacked
+output matches the sequential reference-order composition (disk -> plane ->
+wrap -> s&p, real projection between stages) within 2e-4 relative at BraTS
+size (tests/test_fused.py::test_stacked_fused_matches_sequential_*). The
+stage order of the reference is preserved exactly: the wraparound weight is
+deferred past the plane/spike write whenever magnitude edits are enabled.
+One documented exception: when an earlier mask already ZEROED the k-point a
+plane/spike later writes (every 127_-family config: disk_r=12.5, shell
+(55,55,30)), the reference re-reads ``angle(~0)`` after its extra FFT round
+trip — roundoff noise — so its own output phase there is ill-defined; the
+fused path pins that phase to 0. The corruption is identical in k-space
+magnitude (asserted in test_stacked_masked_plane_point_matches_in_magnitude);
+only the arbitrary phase offset of the injected plane wave differs. For
+bit-parity with the reference's per-op results use the functions in
 :mod:`mvtb_tpu.ops.corruptions` (the transform API does). The fused path is
 the production augmentation engine; single-stage configs match the per-op
 results exactly (see tests/test_fused.py).
@@ -129,6 +144,39 @@ def _to_raw_index(shifted_idx, n: int):
     return (shifted_idx - n // 2) % n
 
 
+def stage_keys(key: jax.Array, cfg: StylizeConfig) -> dict:
+    """Deterministic per-stage PRNG key assignment for one stylize call.
+
+    Exposed so tests (and any sequential re-composition) can replay the exact
+    random draws :func:`stylize_kspace` makes: keys come from one
+    ``split(key, 16)`` consumed in fixed stage order — gibbs, disk, wrap,
+    zero-fill, spike, plane, salt&pepper — two keys per stage (parameter,
+    gate) except spike (loc, value, gate) and s&p (p, gate, u). Keys are
+    consumed whether or not a stage's draw is degenerate (fixed parameter or
+    prob >= 1), so streams never shift between configs that share a prefix.
+    """
+    keys = jax.random.split(key, 16)
+    kit = iter(keys)
+    out = {}
+    if cfg.gibbs_alpha is not None:
+        out["gibbs_alpha"], out["gibbs_gate"] = next(kit), next(kit)
+    if cfg.disk_r is not None:
+        out["disk_r"], out["disk_gate"] = next(kit), next(kit)
+    if cfg.wrap_alpha is not None:
+        out["wrap_alpha"], out["wrap_gate"] = next(kit), next(kit)
+    if cfg.zf_p is not None:
+        out["zf_u"], out["zf_gate"] = next(kit), next(kit)
+    if cfg.spike:
+        out["spike_loc"], out["spike_val"], out["spike_gate"] = (
+            next(kit), next(kit), next(kit))
+    if cfg.plane_axes is not None:
+        out["plane_loc"], out["plane_gate"] = next(kit), next(kit)
+    if cfg.sap_p is not None:
+        out["sap_p"], out["sap_gate"], out["sap_u"] = (
+            next(kit), next(kit), next(kit))
+    return out
+
+
 def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
     """Apply the configured corruption stack to one channel-first volume.
 
@@ -150,8 +198,7 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
     C = x.shape[0]
     rdtype = jnp.zeros((), x.dtype).real.dtype
     axes = tuple(range(-nd, 0))
-    keys = jax.random.split(key, 16)
-    kit = iter(keys)
+    ks = stage_keys(key, cfg)
 
     out = x
     if cfg.kspace_needed:
@@ -163,24 +210,30 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
             # GibbsNoise center is (n-1)/2: shifted-center delta (n-1)/2 - n//2
             deltas = tuple((n - 1) / 2 - n // 2 for n in spatial)
             dist_sq = _raw_dist_sq(spatial, deltas)
-            alpha = _sample(next(kit), cfg.gibbs_alpha, rdtype)
+            alpha = _sample(ks["gibbs_alpha"], cfg.gibbs_alpha, rdtype)
             r = (1.0 - alpha) * max(spatial) * math.sqrt(2.0) / 2.0
             m = (dist_sq <= r * r).astype(rdtype)
-            g = _gate(next(kit), cfg.gibbs_prob)
+            g = _gate(ks["gibbs_gate"], cfg.gibbs_prob)
             weight = jnp.where(g, m, jnp.ones((), rdtype))
         if cfg.disk_r is not None:
             dist_sq = _raw_dist_sq(spatial, (0.0,) * nd)
-            r = _sample(next(kit), cfg.disk_r, rdtype)
+            r = _sample(ks["disk_r"], cfg.disk_r, rdtype)
             inside = dist_sq < r * r
             m = (jnp.logical_not(inside) if cfg.disk_inside_off else inside).astype(rdtype)
-            g = _gate(next(kit), cfg.disk_prob)
+            g = _gate(ks["disk_gate"], cfg.disk_prob)
             m = jnp.where(g, m, jnp.ones((), rdtype))
             weight = m if weight is None else weight * m
 
         # ---- wraparound: parity of the SHIFTED index, computed raw ----
+        # The reference's stacked pipeline order is Gibbs -> planes -> wrap
+        # (127_.../:138-141), i.e. wrap scales the plane/spike-written k-point
+        # too. With no magnitude edits the wrap factor folds into the single
+        # radial-mask multiply; with edits enabled it is deferred until after
+        # the polar write so the sequential order is preserved.
+        wrap_weight = None
         if cfg.wrap_alpha is not None:
-            alpha = _sample(next(kit), cfg.wrap_alpha, rdtype)
-            g = _gate(next(kit), cfg.wrap_prob)
+            alpha = _sample(ks["wrap_alpha"], cfg.wrap_alpha, rdtype)
+            g = _gate(ks["wrap_gate"], cfg.wrap_prob)
             alpha = jnp.where(g, alpha, jnp.ones((), rdtype))
             for d in range(nd):
                 n = spatial[d]
@@ -188,15 +241,19 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 i = jax.lax.broadcasted_iota(jnp.int32, spatial, d)
                 s = jnp.where(i < n - c, i + c, i + c - n)  # shifted index
                 w = jnp.where(s % 2 == 1, alpha, jnp.ones((), rdtype))
-                weight = w if weight is None else weight * w
+                wrap_weight = w if wrap_weight is None else wrap_weight * w
+            if not (cfg.spike or cfg.plane_axes is not None):
+                weight = (wrap_weight if weight is None
+                          else weight * wrap_weight)
+                wrap_weight = None
 
         if weight is not None:
             k = k * weight  # single fused elementwise pass over k
 
         # ---- zero-fill ----
         if cfg.zf_p is not None:
-            u = jax.random.uniform(next(kit), k.shape, rdtype)
-            g = _gate(next(kit), cfg.zf_prob)
+            u = jax.random.uniform(ks["zf_u"], k.shape, rdtype)
+            g = _gate(ks["zf_gate"], cfg.zf_prob)
             keep = jnp.logical_or(u > cfg.zf_p, jnp.logical_not(g))
             k = k * keep.astype(rdtype)
 
@@ -212,7 +269,7 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 else:
                     lo = jnp.full((C,), cfg.spike_range[0], rdtype)
                     hi = jnp.full((C,), cfg.spike_range[1], rdtype)
-                loc_keys = jax.random.split(next(kit), nd)
+                loc_keys = jax.random.split(ks["spike_loc"], nd)
                 # sample in shifted coordinates (uniform either way), then
                 # map to raw so results match the shifted-space reference
                 if cfg.spike_channel_wise:
@@ -222,8 +279,8 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                             spatial[d])
                         for d in range(nd)
                     )
-                    vals = lo + (hi - lo) * jax.random.uniform(next(kit), (C,), rdtype)
-                    gates = jax.random.bernoulli(next(kit), cfg.spike_prob, (C,))
+                    vals = lo + (hi - lo) * jax.random.uniform(ks["spike_val"], (C,), rdtype)
+                    gates = jax.random.bernoulli(ks["spike_gate"], cfg.spike_prob, (C,))
                     idx = (jnp.arange(C),) + locs
                     vals = jnp.where(gates, vals, log_abs[idx])
                 else:
@@ -233,9 +290,9 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                             spatial[d]))
                         for d in range(nd)
                     )
-                    u = jax.random.uniform(next(kit), (), rdtype)
+                    u = jax.random.uniform(ks["spike_val"], (), rdtype)
                     vals = lo + (hi - lo) * u
-                    g = _gate(next(kit), cfg.spike_prob)
+                    g = _gate(ks["spike_gate"], cfg.spike_prob)
                     idx = (jnp.arange(C),) + locs
                     vals = jnp.where(g, vals, log_abs[idx])
                 log_abs = log_abs.at[idx].set(vals)
@@ -244,25 +301,27 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 a, b, c3 = cfg.plane_axes
                 shell = jnp.asarray(ellipsoid_shell_mask(spatial, a, b, c3).ravel())
                 logits = jnp.where(shell, 0.0, -jnp.inf)
-                flat = jax.random.categorical(next(kit), logits)
+                flat = jax.random.categorical(ks["plane_loc"], logits)
                 loc = jnp.unravel_index(flat, spatial)  # shifted coords
                 raw = tuple(_to_raw_index(loc[d], spatial[d]) for d in range(nd))
                 idx = (slice(None),) + raw
-                g = _gate(next(kit), cfg.plane_prob)
+                g = _gate(ks["plane_gate"], cfg.plane_prob)
                 val = jnp.where(g, jnp.asarray(cfg.plane_intensity, rdtype),
                                 log_abs[idx])
                 log_abs = log_abs.at[idx].set(val)
 
             k = from_polar(jnp.exp(log_abs), phase)
+            if wrap_weight is not None:  # deferred wrap (reference order)
+                k = k * wrap_weight
 
         out = jnp.fft.ifftn(k, axes=axes).real.astype(x.dtype)
 
     # ---- image-domain salt & pepper ----
     if cfg.sap_p is not None:
-        p = _sample(next(kit), cfg.sap_p, rdtype)
-        g = _gate(next(kit), cfg.sap_prob)
+        p = _sample(ks["sap_p"], cfg.sap_p, rdtype)
+        g = _gate(ks["sap_gate"], cfg.sap_prob)
         p = jnp.where(g, p, jnp.zeros((), rdtype))
-        u = jax.random.uniform(next(kit), out.shape, rdtype)
+        u = jax.random.uniform(ks["sap_u"], out.shape, rdtype)
         lo = out.min() / 2
         hi = out.max() / 2
         styled = jnp.where(u <= p / 2, lo, out)

@@ -56,6 +56,12 @@ def shard_batch(mesh: Mesh, *arrays):
 
 
 def replicate(mesh: Mesh, tree):
-    """Device-put a pytree fully replicated over the mesh."""
+    """Device-put a pytree fully replicated over the mesh.
+
+    Leaves are copied, not aliased: ``device_put`` may share the source
+    buffer for the shard already resident on a device, and the train steps
+    donate their state — an aliased replica would die with the original.
+    """
     sh = replicated(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), tree)
+    return jax.tree.map(
+        lambda a: jax.device_put(jax.numpy.array(a, copy=True), sh), tree)

@@ -117,6 +117,9 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                 g = _gate(next(kit), cfg.disk_prob)
                 m = jnp.where(g, m, jnp.ones((), rdtype))
                 weight = m if weight is None else weight * m
+            # wrap is deferred past plane/spike writes when those are enabled
+            # (reference order Gibbs -> planes -> wrap; see ops/fused.py)
+            wrap_weight = None
             if cfg.wrap_alpha is not None:
                 alpha = _sample(next(kit), cfg.wrap_alpha, rdtype)
                 g = _gate(next(kit), cfg.wrap_prob)
@@ -126,7 +129,11 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                     i = _global_index(n, start, local_shape, ax)
                     s = jnp.where(i < n - c, i + c, i + c - n)
                     w = jnp.where(s % 2 == 1, alpha, jnp.ones((), rdtype))
-                    weight = w if weight is None else weight * w
+                    wrap_weight = w if wrap_weight is None else wrap_weight * w
+                if not (cfg.spike or cfg.plane_axes is not None):
+                    weight = (wrap_weight if weight is None
+                              else weight * wrap_weight)
+                    wrap_weight = None
             if weight is not None:
                 k = k * weight
 
@@ -201,6 +208,8 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                                                     rdtype), log_abs)
 
                 k = from_polar(jnp.exp(log_abs), phase)
+                if wrap_weight is not None:  # deferred wrap (reference order)
+                    k = k * wrap_weight
 
             # ---- inverse: H, trade back, (W, D) ----
             k = jnp.fft.ifft(k, axis=1)

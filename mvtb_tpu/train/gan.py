@@ -67,7 +67,7 @@ def _apply(state: GANState, params, x, train: bool, has_bn: bool = True):
     return state.apply_fn(variables, x, train=False), None
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0, 1))
 def dcgan_step(g_state: GANState, d_state: GANState, real: Array,
                z: Array) -> Tuple[GANState, GANState, Dict[str, Array]]:
     """One DCGAN iteration (D then G), all on device.
@@ -110,7 +110,8 @@ def dcgan_step(g_state: GANState, d_state: GANState, real: Array,
     return g_state, d_state, metrics
 
 
-@partial(jax.jit, static_argnames=("zf_p", "alpha", "gamma", "freq_domain",
+@partial(jax.jit, donate_argnums=(0, 1),
+         static_argnames=("zf_p", "alpha", "gamma", "freq_domain",
                                    "compress_kind", "pre_corrupt_real"))
 def recon_gan_step(g_state: GANState, d_state: GANState, real: Array,
                    key: jax.Array, zf_p: float = 0.2,

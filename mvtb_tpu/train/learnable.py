@@ -56,15 +56,19 @@ def _set_styl_param(params, value):
     return walk(params, path)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("train_alpha",), donate_argnums=(0,))
 def learnable_train_step(state: TrainState, image: Array, label: Array,
-                         rng: jax.Array) -> Tuple[TrainState, Array, Array]:
+                         rng: jax.Array, train_alpha: bool = True
+                         ) -> Tuple[TrainState, Array, Array]:
     """Joint theta+alpha step via plain jax.grad (image/label channel-first).
 
     ``rng`` feeds the model's "corruption" stream (used by SpikeLayer; unused
     but harmless for GibbsUNet). Returns (state, loss, alpha) — alpha (or the
     spike intensity) is logged as the reference logs its trajectory
-    (``gibbs_trajectory_*.txt``).
+    (``gibbs_trajectory_*.txt``). ``train_alpha=False`` pins the stylization
+    parameter (the reference's no-GD scripts, e.g.
+    ``gibbs0p7_layer_domain.py``: alpha is a bare requires_grad tensor that
+    never reaches the optimizer, so it stays at its initial value).
     """
 
     def loss_fn(params):
@@ -73,11 +77,13 @@ def learnable_train_step(state: TrainState, image: Array, label: Array,
         return dice_loss(jnp.moveaxis(logits, 1, -1), jnp.moveaxis(label, 1, -1))
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    if not train_alpha:
+        grads = _set_styl_param(grads, jnp.zeros_like(_get_styl_param(grads)))
     state = state.apply_gradients(grads=grads)
     return state, loss, _get_styl_param(state.params)[0]
 
 
-@partial(jax.jit, static_argnames=("h", "lr"))
+@partial(jax.jit, static_argnames=("h", "lr"), donate_argnums=(0,))
 def fd_train_step(state: TrainState, image: Array, label: Array,
                   rng: jax.Array, h: float = 0.01, lr: float = 0.02
                   ) -> Tuple[TrainState, Array, Array]:
@@ -112,7 +118,9 @@ def create_learnable_state(key: jax.Array, model, input_shape_cf,
                            tx: Optional[object] = None,
                            freeze_unet: bool = False,
                            unet_optimizer: str = "adam",
-                           transfer_params=None) -> TrainState:
+                           transfer_params=None,
+                           lr: float = 1e-4,
+                           weight_decay: float = 1e-5) -> TrainState:
     """Init a channel-first stylization model (GibbsUNet/SpikesUNet).
 
     ``freeze_unet`` zeroes network updates so only the stylization parameter
@@ -133,8 +141,8 @@ def create_learnable_state(key: jax.Array, model, input_shape_cf,
                   if "unet" in transfer_params else transfer_params}
 
     if tx is None:
-        base = (optax.sgd(1e-4) if unet_optimizer == "sgd"
-                else reference_optimizer())
+        base = (optax.sgd(lr) if unet_optimizer == "sgd"
+                else reference_optimizer(lr, weight_decay))
         if freeze_unet:
             styl_key = _styl_path(params)[0]
 

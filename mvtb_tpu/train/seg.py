@@ -52,12 +52,19 @@ def create_seg_state(key: jax.Array, model, input_shape: Tuple[int, ...],
                              tx=tx or reference_optimizer())
 
 
-@partial(jax.jit, static_argnames=("stylize_cfg", "augment_label"))
+@partial(jax.jit, static_argnames=("stylize_cfg", "augment_label"),
+         donate_argnums=(0,))
 def seg_train_step(state: TrainState, image: Array, label: Array,
                    key: jax.Array,
                    stylize_cfg: Optional[StylizeConfig] = None,
                    augment_label: bool = False) -> Tuple[TrainState, Array]:
     """One fwd+bwd+update step.
+
+    The incoming ``state`` is DONATED: XLA updates the 4.8M-param train state
+    (params + Adam moments) in place instead of allocating a fresh copy per
+    step — the TPU analogue of the reference's in-place ``optimizer.step()``
+    (``baseline.py:232-248``). Callers must rebind (``state, loss =
+    seg_train_step(state, ...)``) and may not read the old state afterwards.
 
     Args:
         image/label: channel-first ``(B, C, *spatial)`` (reference layout).

@@ -20,6 +20,7 @@ from mvtb_tpu.transforms.array import (
 )
 from mvtb_tpu.transforms.dictionary import (
     ConvertToMultiChannelBasedOnBratsClassesd,
+    MultimodalSlicesd,
     RandFourierDiskMaskd,
     RandGibbsNoised,
     RandKSpaceSpikeNoised,
@@ -36,7 +37,8 @@ __all__ = [
     "RandomizableTransform", "ReCompose", "Transform", "ensure_tuple",
     "GibbsNoise", "KSpaceSpikeNoise", "RandGibbsNoise", "RandKSpaceSpikeNoise",
     "RandZF", "WrapArtifact",
-    "ConvertToMultiChannelBasedOnBratsClassesd", "RandFourierDiskMaskd",
+    "ConvertToMultiChannelBasedOnBratsClassesd", "MultimodalSlicesd",
+    "RandFourierDiskMaskd",
     "RandGibbsNoised", "RandKSpaceSpikeNoised", "RandPlaneWaves_ellipsoid",
     "SaltAndPepper", "SegmentationSlicesd", "SelectChanneld", "WholeTumorTCGA",
     "WrapArtifactd",

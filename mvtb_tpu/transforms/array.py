@@ -46,7 +46,7 @@ class GibbsNoise(Transform):
 
     def __init__(self, alpha: float = 0.5, as_tensor_output: bool = True) -> None:
         if alpha > 1 or alpha < 0:
-            raise AssertionError("alpha must take values in the interval [0,1].")
+            raise AssertionError("alpha is restricted to the range [0, 1].")
         self.alpha = alpha
         self.as_tensor_output = as_tensor_output
 
@@ -61,11 +61,11 @@ class RandGibbsNoise(RandomizableTransform):
     def __init__(self, prob: float = 0.1, alpha: Sequence[float] = (0.0, 1.0),
                  as_tensor_output: bool = True) -> None:
         if len(alpha) != 2:
-            raise AssertionError("alpha length must be 2.")
+            raise AssertionError("a ranged alpha needs exactly two entries.")
         if alpha[1] > 1 or alpha[0] < 0:
-            raise AssertionError("alpha must take values in the interval [0,1]")
+            raise AssertionError("alpha is restricted to the range [0, 1]")
         if alpha[0] > alpha[1]:
-            raise AssertionError("When alpha = [a,b] we need a < b.")
+            raise AssertionError("a ranged alpha [a, b] requires a < b.")
         self.alpha = alpha
         self.sampled_alpha = -1.0
         self.as_tensor_output = as_tensor_output
@@ -101,22 +101,22 @@ class KSpaceSpikeNoise(Transform):
         if isinstance(k_intensity, Sequence):
             if not isinstance(loc[0], Sequence):
                 raise AssertionError(
-                    "If a sequence is passed to k_intensity, then a sequence of "
-                    "locations must be passed to loc"
+                    "a sequence of k_intensity values requires loc to be a "
+                    "matching sequence of location tuples"
                 )
             if len(k_intensity) != len(loc):
                 raise AssertionError(
-                    "There must be one intensity_factor value for each tuple of indices in loc."
+                    "k_intensity and loc must pair up one-to-one (one value per location tuple)."
                 )
         if isinstance(self.loc[0], Sequence) and k_intensity is not None:
             if not isinstance(self.k_intensity, Sequence):
                 raise AssertionError(
-                    "There must be one intensity_factor value for each tuple of indices in loc."
+                    "k_intensity and loc must pair up one-to-one (one value per location tuple)."
                 )
 
     def __call__(self, img: ArrayLike) -> ArrayLike:
         if len(img.shape) < 3:
-            raise AssertionError("Image needs a channel direction.")
+            raise AssertionError("expected channel-first input with at least (C, H, W) axes.")
         x = _to_jnp(img)
         n_dims = x.ndim - 1
         self._check_indices(x)
@@ -154,8 +154,8 @@ class KSpaceSpikeNoise(Transform):
         for i in range(len(img.shape)):
             if img.shape[i] <= max(x[i] for x in padded):
                 raise AssertionError(
-                    f"The index value at position {i} of one of the tuples in "
-                    f"loc = {self.loc} is out of bounds for current image."
+                    f"spike location axis {i} exceeds the image extent "
+                    f"(loc = {self.loc}, image shape = {tuple(img.shape)})."
                 )
 
 
@@ -181,8 +181,8 @@ class RandKSpaceSpikeNoise(RandomizableTransform):
         if intensity_range is not None:
             if isinstance(intensity_range[0], Sequence) and not channel_wise:
                 raise AssertionError(
-                    "When channel_wise = False, intensity_range should be a "
-                    "2-tuple (low, high) or None."
+                    "with channel_wise=False, intensity_range must be a single "
+                    "(low, high) pair or None."
                 )
         super().__init__(prob)
 
@@ -192,8 +192,8 @@ class RandKSpaceSpikeNoise(RandomizableTransform):
             if isinstance(self.intensity_range[0], Sequence) and \
                     len(self.intensity_range) != x.shape[0]:
                 raise AssertionError(
-                    "If intensity_range is a sequence of sequences, then there "
-                    "must be one (low, high) tuple for each channel."
+                    "per-channel intensity_range needs exactly one (low, high) "
+                    "pair per input channel."
                 )
 
         self.sampled_k_intensity = []

@@ -54,8 +54,8 @@ class SelectChanneld(MapTransform):
                 for i, key in zip(self.chan_num, self.key_iterator(d)):
                     if d[key].shape[0] - 1 < i:
                         raise AssertionError(
-                            f"Provided channel index {i} larger than max channel "
-                            f"index for key = {key}"
+                            f"channel index {i} out of range for key '{key}' "
+                            f"(only {d[key].shape[0]} channels present)"
                         )
                     d[key] = d[key][i][None]
             else:
@@ -222,6 +222,37 @@ class SegmentationSlicesd(MapTransform, Randomizable):
         for key in self.key_iterator(d):
             arr = np.asarray(d[key])[0][:, :, c:c + 3]
             d[key] = np.swapaxes(arr, 0, 2)
+        return d
+
+
+class MultimodalSlicesd(MapTransform, Randomizable):
+    """Pick one modality channel at random per sample; fix the label channel.
+
+    Reproduces the inline transform of the ``_3modalities`` scripts
+    (``10_scripts/127_gibbs_spikes_wraparound_sap_OneChannel/
+    baseline_3modalities.py:73-101``): ``image`` keeps one channel drawn
+    uniformly (via ``R.choice``) from ``img_chan_indices``; ``label`` keeps
+    channel ``label_idx``; both keep the channel axis. Paired with an
+    oversampled dataset this trains one 1-channel model on several
+    modalities at once.
+    """
+
+    def __init__(self, keys, img_chan_indices: Sequence[int] = (0,),
+                 label_idx: int = 0, seed: Optional[int] = None,
+                 allow_missing_keys: bool = False):
+        Randomizable.set_random_state(self, seed=seed)
+        MapTransform.__init__(self, keys, allow_missing_keys)
+        self.img_chan_indices = list(img_chan_indices)
+        self.label_idx = label_idx
+
+    def __call__(self, data):
+        d = dict(data)
+        c = self.R.choice(self.img_chan_indices)
+        for key in self.key_iterator(d):
+            if key == "image":
+                d[key] = np.asarray(d[key])[c][None]
+            elif key == "label":
+                d[key] = np.asarray(d[key])[self.label_idx][None]
         return d
 
 

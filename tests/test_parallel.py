@@ -37,12 +37,13 @@ def test_sharded_step_matches_single_device():
     state, image, label = _setup()
     key = jax.random.key(1)
 
-    # single-device result
-    s1, loss1 = seg_train_step(state, jnp.asarray(image), jnp.asarray(label), key)
-
-    # 8-way data-parallel result
+    # replicate BEFORE the single-device step: seg_train_step donates its
+    # input state, so the original buffers are dead after the call
     mesh = make_mesh()
     state_r = replicate(mesh, state)
+
+    # single-device result
+    s1, loss1 = seg_train_step(state, jnp.asarray(image), jnp.asarray(label), key)
     img_s, lbl_s = shard_batch(mesh, image, label)
     assert len(img_s.sharding.device_set) == 8
     with jax.set_mesh(mesh):
@@ -82,10 +83,9 @@ def test_tensor_parallel_matches_single_device():
 
     state, image, label = _setup(batch=4)
     key = jax.random.key(5)
-    s1, loss1 = seg_train_step(state, jnp.asarray(image), jnp.asarray(label), key)
-
     mesh = make_mesh(n_data=4, n_model=2)
-    state_tp = shard_state_tp(mesh, replicate(mesh, state))
+    state_tp = shard_state_tp(mesh, replicate(mesh, state))  # before donation
+    s1, loss1 = seg_train_step(state, jnp.asarray(image), jnp.asarray(label), key)
     # at least one conv kernel actually sharded over 'model'
     sharded = [p for p in jax.tree.leaves(state_tp.params)
                if "model" in str(p.sharding.spec)]
@@ -108,12 +108,13 @@ def test_spatially_sharded_train_step():
 
     state, image, label = _setup(batch=1, spatial=(32, 32, 8))
     key = jax.random.key(7)
+    mesh = make_mesh()
+    state_r = replicate(mesh, state)  # before the donating step
     s1, loss1 = seg_train_step(state, jnp.asarray(image), jnp.asarray(label), key)
 
-    mesh = make_mesh()
     sp = NamedSharding(mesh, P(None, None, "data"))  # shard H of (B,C,H,W,D)
     with jax.set_mesh(mesh):
-        s2, loss2 = seg_train_step(replicate(mesh, state),
+        s2, loss2 = seg_train_step(state_r,
                                    jax.device_put(image, sp),
                                    jax.device_put(label, sp), key)
     assert abs(float(loss1) - float(loss2)) < 1e-6

@@ -1,7 +1,13 @@
-"""Registry sanity: every experiment config is well-formed."""
+"""Registry sanity: every experiment config is well-formed, and the
+manifest proves name-for-name coverage of the reference script tree."""
+
+import os
 
 from mvtb_tpu.experiments import REGISTRY
+from mvtb_tpu.experiments.manifest import LIBRARY_MAP, SCRIPT_MAP
 from mvtb_tpu.ops.fused import StylizeConfig
+
+REFERENCE_ROOT = "/root/reference"
 
 
 def test_registry_covers_reference_scale():
@@ -26,6 +32,45 @@ def test_all_configs_well_formed():
             assert 0 <= ic < 4 and 0 <= lc < 3
         assert 0 < cfg.epochs <= 400
         assert cfg.model_dtype in ("bfloat16", "float32")
+
+
+def test_manifest_targets_resolve():
+    for script, target in SCRIPT_MAP.items():
+        assert target in REGISTRY, f"{script} -> {target} not in registry"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for script, target in LIBRARY_MAP.items():
+        if target.startswith("mvtb_tpu"):
+            path = os.path.join(repo, target.replace(".", os.sep))
+            assert (os.path.isfile(path + ".py") or os.path.isdir(path)), \
+                f"{script} -> module {target} missing"
+        else:
+            assert os.path.isfile(os.path.join(repo, target)), \
+                f"{script} -> file {target} missing"
+
+
+def test_manifest_covers_reference_tree():
+    """When the reference checkout is present, the manifest must list every
+    script under 10_scripts/ and 50_reconstruction/ — no silent gaps."""
+    import glob
+
+    import pytest
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference tree not present")
+    found = set()
+    for sub in ("10_scripts", "50_reconstruction"):
+        for p in glob.glob(os.path.join(REFERENCE_ROOT, sub, "**", "*.py"),
+                           recursive=True):
+            found.add(os.path.relpath(p, REFERENCE_ROOT))
+    # glob skips the hidden .ipynb_checkpoints entry; add it explicitly
+    ckpt = "10_scripts/.ipynb_checkpoints/stylized_gibbs55-checkpoint.py"
+    if os.path.isfile(os.path.join(REFERENCE_ROOT, ckpt)):
+        found.add(ckpt)
+    mapped = set(SCRIPT_MAP) | set(LIBRARY_MAP)
+    missing = sorted(found - mapped)
+    stale = sorted(mapped - found)
+    assert not missing, f"unmapped reference scripts: {missing}"
+    assert not stale, f"manifest entries with no reference file: {stale}"
 
 
 def test_key_reference_families_present():

@@ -1,0 +1,90 @@
+"""Textured synthetic data: the label signal must live in high-k texture
+(destroyed by Gibbs filtering), with only a weak low-k offset surviving —
+the property that makes the robustness-gain experiment falsifiable
+(round-1 VERDICT 'what's weak' #1)."""
+
+import numpy as np
+
+from mvtb_tpu.data.synthetic import make_textured_volume
+
+SPATIAL = (64, 64, 32)
+
+
+def _volume(seed=0):
+    rng = np.random.RandomState(seed)
+    return make_textured_volume(rng, channels=1, spatial=SPATIAL, n_classes=3)
+
+
+def _gibbs_lowpass(img, r=6.25):
+    """Disk low-pass at the 128-grid-equivalent of the reference's r=12.5
+    (half the grid here), reference geometry (center floor(n/2))."""
+    k = np.fft.fftshift(np.fft.fftn(img))
+    grids = np.ogrid[tuple(slice(0, n) for n in SPATIAL)]
+    dist_sq = sum((g - n // 2) ** 2 for g, n in zip(grids, SPATIAL))
+    return np.fft.ifftn(np.fft.ifftshift(k * (dist_sq < r * r))).real
+
+
+def _highband_energy(img, lo=0.22):
+    """Per-voxel squared magnitude above index radius ``lo * max(shape)/2``
+    (the generator's band geometry)."""
+    k = np.fft.fftn(img)
+    grids = np.meshgrid(*[np.fft.fftfreq(n) * n for n in SPATIAL],
+                        indexing="ij")
+    r = np.sqrt(sum(g * g for g in grids)) / (max(SPATIAL) / 2.0)
+    k_hi = np.where(r >= lo, k, 0.0)
+    return np.abs(np.fft.ifftn(k_hi)) ** 2
+
+
+def test_texture_discriminates_on_clean_data():
+    img, lbl = _volume()
+    wt = lbl[1].astype(bool)
+    e = _highband_energy(img[0])
+    ratio = e[~wt].mean() / e[wt].mean()
+    # healthy tissue is texture-rich, tumor suppressed: strong local cue
+    assert ratio > 2.0, f"high-band energy ratio only {ratio:.2f}"
+
+
+def test_gibbs_filtering_destroys_the_texture_cue():
+    img, lbl = _volume()
+    wt = lbl[1].astype(bool)
+    filtered = _gibbs_lowpass(img[0])
+    e = _highband_energy(filtered)
+    ratio = e[~wt].mean() / max(e[wt].mean(), 1e-12)
+    # after the disk low-pass the high-band carries (next to) nothing
+    assert e.mean() < 1e-6 * _highband_energy(img[0]).mean() + 1e-12 or \
+        abs(np.log(ratio)) < 0.7, "texture cue survived the low-pass"
+
+
+def test_offset_cue_survives_lowpass():
+    """The designed offset component (in normalized units) must survive the
+    Gibbs low-pass as a usable step; measured on the component directly since
+    the anatomy band adds a random per-volume local level of similar size."""
+    rng = np.random.RandomState(0)
+    img, lbl, parts = make_textured_volume(rng, 1, SPATIAL, 3,
+                                           return_parts=True)
+    wt = lbl[1].astype(bool)
+    off = _gibbs_lowpass(parts[0]["offset"])
+    gap = off[wt].mean() - off[~wt].mean()
+    assert gap > 0.2, f"surviving mean-offset cue too weak: {gap:.3f}"
+    # ... while the texture component loses essentially all its energy
+    tex = parts[0]["texture"]
+    kept = _gibbs_lowpass(tex)
+    assert (kept ** 2).mean() < 0.02 * (tex ** 2).mean()
+
+
+def test_nested_labels_and_shapes():
+    img, lbl = _volume(3)
+    assert img.shape == (1,) + SPATIAL and lbl.shape == (3,) + SPATIAL
+    tc, wt, et = lbl[0].astype(bool), lbl[1].astype(bool), lbl[2].astype(bool)
+    assert et.sum() > 0 and (et & ~tc).sum() == 0 and (tc & ~wt).sum() == 0
+    assert np.isfinite(img).all()
+    # per-channel normalization
+    assert abs(img[0].mean()) < 1e-3 and abs(img[0].std() - 1.0) < 1e-2
+
+
+def test_volumes_differ_per_draw():
+    rng = np.random.RandomState(0)
+    a, la = make_textured_volume(rng, 1, SPATIAL)
+    b, lb = make_textured_volume(rng, 1, SPATIAL)
+    assert np.abs(a - b).max() > 0.5
+    assert not np.array_equal(la, lb)
