@@ -70,23 +70,30 @@ class DecathlonDataset:
     """Manifest-driven dataset matching MONAI's Decathlon layout.
 
     Expects ``root_dir/task/dataset.json`` with ``training`` entries of
-    ``{"image": ..., "label": ...}`` relative paths. ``section="validation"``
-    takes the same trailing slice MONAI does (last ~20% of training list).
-    Samples pass through ``transform`` and are memoized to ``cache_dir``.
+    ``{"image": ..., "label": ...}`` relative paths. Split membership is
+    pinned to MONAI 0.4/0.5 ``DecathlonDataset._split_datalist``: the index
+    list is SHUFFLED with ``np.random.RandomState(seed)`` (seed 0 default,
+    as in every reference script), validation = the first
+    ``int(n * val_frac)`` shuffled indices, training = the remainder, both
+    kept in shuffled order. Samples pass through ``transform`` and are
+    memoized to ``cache_dir``.
     """
 
     def __init__(self, root_dir: str, task: str = "Task01_BrainTumour",
                  transform=None, section: str = "training",
-                 cache_dir: Optional[str] = None, val_frac: float = 0.2):
+                 cache_dir: Optional[str] = None, val_frac: float = 0.2,
+                 seed: int = 0):
         self.root = os.path.join(root_dir, task)
         manifest = os.path.join(self.root, "dataset.json")
         with open(manifest) as f:
             entries = json.load(f)["training"]
-        n_val = int(round(len(entries) * val_frac))
+        indices = np.arange(len(entries))
+        np.random.RandomState(seed).shuffle(indices)
+        val_length = int(len(entries) * val_frac)
         if section == "training":
-            self.entries = entries[:-n_val] if n_val else entries
+            self.entries = [entries[i] for i in indices[val_length:]]
         elif section == "validation":
-            self.entries = entries[-n_val:] if n_val else []
+            self.entries = [entries[i] for i in indices[:val_length]]
         else:
             raise ValueError(section)
         self.transform = transform

@@ -88,36 +88,86 @@ def reorient(volume: np.ndarray, affine: np.ndarray, axcodes: str = "RAS"
 # Spacing (resampling to target voxel size)
 # ---------------------------------------------------------------------------
 
+def zoom_affine(affine: np.ndarray, scale: Sequence[float]) -> np.ndarray:
+    """MONAI 0.4/0.5 ``zoom_affine(affine, scale, diagonal=False)``: keep the
+    rotation of the input affine, set the column scales to ``scale`` (with
+    the signs of the input's diagonal zooms), zero the translation (Spacing
+    fills it from the corner offset)."""
+    affine = np.asarray(affine, np.float64)
+    rzs = affine[:-1, :-1]
+    zs = np.linalg.cholesky(rzs.T @ rzs).T
+    rotation = rzs @ np.linalg.inv(zs)
+    s = np.sign(np.diag(zs)) * np.abs(np.asarray(scale, np.float64))
+    new_affine = np.eye(len(affine))
+    new_affine[:-1, :-1] = rotation @ np.diag(s)
+    return new_affine
+
+
+def compute_shape_offset(spatial_shape: Sequence[int], in_affine: np.ndarray,
+                         out_affine: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """MONAI 0.4/0.5 ``compute_shape_offset``: output shape from the extents
+    of the input's CORNER voxels mapped into output voxel coordinates —
+    ``round(ptp + 1)`` per axis (np.round = round-half-even) — and the world
+    coordinate of the corner that lands at output voxel 0.
+
+    This is the rule the 0.5%-Dice-budget preprocessing parity hangs on: it
+    differs from the naive ``ceil(n * old / new)`` (e.g. n=11, 1.0 -> 4.0 mm
+    gives 4, not 3).
+    """
+    shape = np.asarray(spatial_shape, np.float64)
+    sr = len(shape)
+    in_coords = [(0.0, dim - 1.0) for dim in shape]
+    corners = np.asarray(np.meshgrid(*in_coords, indexing="ij")).reshape(sr, -1)
+    corners = np.concatenate([corners, np.ones_like(corners[:1])])
+    corners_world = np.asarray(in_affine) @ corners
+    corners_out = np.linalg.inv(np.asarray(out_affine)) @ corners_world
+    corners_out = corners_out[:-1] / corners_out[-1]
+    out_shape = np.round(np.ptp(corners_out, axis=1) + 1.0).astype(int)
+    offset = None
+    for i in range(corners.shape[1]):
+        min_corner = np.min(corners_out - corners_out[:, i:i + 1], axis=1)
+        if np.allclose(min_corner, 0.0):
+            offset = corners_world[:-1, i]  # this corner maps to voxel 0
+            break
+    if offset is None:  # pragma: no cover — non-axis-aligned rotations only
+        offset = corners_world[:-1].mean(axis=1) - (
+            np.asarray(out_affine)[:-1, :-1] @ ((out_shape - 1) / 2.0))
+    return out_shape, offset
+
+
 def resample_to_spacing(volume: np.ndarray, affine: np.ndarray,
                         pixdim: Sequence[float], mode: str = "bilinear"
                         ) -> Tuple[np.ndarray, np.ndarray]:
-    """Resample channel-first (C, X, Y, Z) to target ``pixdim`` spacing.
+    """Resample channel-first (C, X, Y, Z) to target ``pixdim`` spacing,
+    pinned to MONAI 0.4/0.5 ``Spacing`` semantics (``baseline.py:122-126``):
 
-    ``mode``: 'bilinear' (order-1, images) or 'nearest' (labels) — the two
-    modes the reference uses (``baseline.py:122-126``).
+    * target affine via :func:`zoom_affine` (rotation kept, scales replaced),
+    * output shape + origin via :func:`compute_shape_offset` (corner extents),
+    * each output voxel sampled at ``inv(in_affine) @ out_affine @ j`` with
+      bilinear (order-1, images) or nearest (labels) interpolation and
+      border ('nearest') padding — scipy's equivalent of the torch
+      ``grid_sample(padding_mode='border')`` MONAI resamples with.
     """
     if _map_coordinates is None:  # pragma: no cover
         raise RuntimeError("scipy is required for resampling")
-    old_spacing = np.linalg.norm(affine[:3, :3], axis=0)
-    pixdim = np.asarray(pixdim, np.float64)
-    old_shape = np.asarray(volume.shape[1:])
-    new_shape = np.maximum(np.ceil(old_shape * old_spacing / pixdim), 1).astype(int)
+    affine = np.asarray(affine, np.float64)
+    out_affine = zoom_affine(affine, pixdim)
+    out_shape, offset = compute_shape_offset(volume.shape[1:], affine,
+                                             out_affine)
+    out_affine[:3, 3] = offset
 
-    scale = old_spacing / pixdim
-    coords = np.meshgrid(
-        *[np.arange(n, dtype=np.float64) / s for n, s in zip(new_shape, scale)],
-        indexing="ij",
-    )
+    m = np.linalg.inv(affine) @ out_affine  # output voxel -> input voxel
+    grids = np.meshgrid(*[np.arange(n, dtype=np.float64) for n in out_shape],
+                        indexing="ij")
+    pts = np.stack([g.ravel() for g in grids])
+    coords = (m[:3, :3] @ pts + m[:3, 3:4]).reshape((3,) + tuple(out_shape))
     order = 1 if mode == "bilinear" else 0
     out = np.stack([
         _map_coordinates(volume[c].astype(np.float64), coords, order=order,
                          mode="nearest")
         for c in range(volume.shape[0])
     ]).astype(volume.dtype)
-
-    new_affine = affine.copy()
-    new_affine[:3, :3] = affine[:3, :3] / scale
-    return out, new_affine
+    return out, out_affine
 
 
 # ---------------------------------------------------------------------------

@@ -115,28 +115,55 @@ def _gate(key: jax.Array, prob: float) -> Array:
     return jax.random.bernoulli(key, prob)
 
 
-def _raw_offset(spatial, axis: int) -> Array:
+def _raw_offset(grid, axis: int, n: Optional[int] = None) -> Array:
     """Per-axis offset-from-center grid in RAW (unshifted) FFT coordinates.
 
     For raw index i and c = floor(n/2): the fftshifted position is
     ``s = (i + c) mod n``, so the offset from the shifted center is
     ``s - c = i`` for ``i < n - c`` and ``i - n`` otherwise. Generated from
     iota, so XLA fuses it into the consuming elementwise op — nothing is
-    read from HBM.
+    read from HBM. ``grid`` may be the rfft half-spectrum shape; ``n`` is
+    the logical (full) axis length (defaults to the grid's).
     """
-    n = spatial[axis]
+    n = grid[axis] if n is None else n
     c = n // 2
-    i = jax.lax.broadcasted_iota(jnp.float32, spatial, axis)
+    i = jax.lax.broadcasted_iota(jnp.float32, grid, axis)
     return jnp.where(i < n - c, i, i - n)
 
 
-def _raw_dist_sq(spatial, center_shift: Tuple[float, ...]) -> Array:
-    """Squared distance from (shifted-space) center + per-axis shift deltas."""
-    total = jnp.zeros(spatial, jnp.float32)
-    for axis in range(len(spatial)):
-        off = _raw_offset(spatial, axis) - center_shift[axis]
+def _raw_dist_sq(spatial, center_shift: Tuple[float, ...],
+                 grid=None) -> Array:
+    """Squared distance from (shifted-space) center + per-axis shift deltas.
+
+    ``grid`` (default ``spatial``) is the array shape to generate — pass the
+    rfft half-spectrum shape to build the weight directly on half-k.
+    """
+    grid = tuple(spatial) if grid is None else tuple(grid)
+    total = jnp.zeros(grid, jnp.float32)
+    for axis in range(len(grid)):
+        off = _raw_offset(grid, axis, spatial[axis]) - center_shift[axis]
         total = total + off * off
     return total
+
+
+def _rfft_eligible(cfg: StylizeConfig, spatial) -> bool:
+    """True when the k-space portion can run through rfftn/irfftn (half the
+    FFT flops and half the elementwise/HBM traffic on the weight multiply).
+
+    Correct iff every active k-space weight is mod-n symmetric
+    (``w[i] == w[(n-i) % n]``), so the weighted spectrum of a real input
+    stays Hermitian: the disk mask (center floor(n/2)) and the wraparound
+    parity weight are symmetric for ALL sizes; the GibbsNoise mask's
+    half-integer center ((n-1)/2) is symmetric only for odd sizes. Point
+    writes (spike/plane) and random zero-fill break symmetry and take the
+    complex path. Verified bit-exact in tests/test_fused.py.
+    """
+    if cfg.spike or cfg.plane_axes is not None or cfg.zf_p is not None:
+        return False
+    if cfg.gibbs_alpha is not None and any(n % 2 == 0 for n in spatial):
+        return False
+    return (cfg.disk_r is not None or cfg.wrap_alpha is not None
+            or cfg.gibbs_alpha is not None)
 
 
 def _to_raw_index(shifted_idx, n: int):
@@ -202,21 +229,29 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
 
     out = x
     if cfg.kspace_needed:
-        k = jnp.fft.fftn(x, axes=axes)  # RAW coordinates — no shift rolls
+        # rfft fast path: mask-only configs with mod-n-symmetric weights run
+        # on the half spectrum — half the FFT flops, half the multiply/HBM
+        use_rfft = _rfft_eligible(cfg, spatial)
+        if use_rfft:
+            k = jnp.fft.rfftn(x, axes=axes)
+            grid = spatial[:-1] + (spatial[-1] // 2 + 1,)
+        else:
+            k = jnp.fft.fftn(x, axes=axes)  # RAW coordinates — no shift rolls
+            grid = spatial
 
         # ---- radial masks: generated on the fly, fused into the multiply ----
         weight = None  # lazy (C-broadcastable) multiplicative weight on k
         if cfg.gibbs_alpha is not None:
             # GibbsNoise center is (n-1)/2: shifted-center delta (n-1)/2 - n//2
             deltas = tuple((n - 1) / 2 - n // 2 for n in spatial)
-            dist_sq = _raw_dist_sq(spatial, deltas)
+            dist_sq = _raw_dist_sq(spatial, deltas, grid)
             alpha = _sample(ks["gibbs_alpha"], cfg.gibbs_alpha, rdtype)
             r = (1.0 - alpha) * max(spatial) * math.sqrt(2.0) / 2.0
             m = (dist_sq <= r * r).astype(rdtype)
             g = _gate(ks["gibbs_gate"], cfg.gibbs_prob)
             weight = jnp.where(g, m, jnp.ones((), rdtype))
         if cfg.disk_r is not None:
-            dist_sq = _raw_dist_sq(spatial, (0.0,) * nd)
+            dist_sq = _raw_dist_sq(spatial, (0.0,) * nd, grid)
             r = _sample(ks["disk_r"], cfg.disk_r, rdtype)
             inside = dist_sq < r * r
             m = (jnp.logical_not(inside) if cfg.disk_inside_off else inside).astype(rdtype)
@@ -238,7 +273,7 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
             for d in range(nd):
                 n = spatial[d]
                 c = n // 2
-                i = jax.lax.broadcasted_iota(jnp.int32, spatial, d)
+                i = jax.lax.broadcasted_iota(jnp.int32, grid, d)
                 s = jnp.where(i < n - c, i + c, i + c - n)  # shifted index
                 w = jnp.where(s % 2 == 1, alpha, jnp.ones((), rdtype))
                 wrap_weight = w if wrap_weight is None else wrap_weight * w
@@ -314,7 +349,10 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
             if wrap_weight is not None:  # deferred wrap (reference order)
                 k = k * wrap_weight
 
-        out = jnp.fft.ifftn(k, axes=axes).real.astype(x.dtype)
+        if use_rfft:
+            out = jnp.fft.irfftn(k, s=spatial, axes=axes).astype(x.dtype)
+        else:
+            out = jnp.fft.ifftn(k, axes=axes).real.astype(x.dtype)
 
     # ---- image-domain salt & pepper ----
     if cfg.sap_p is not None:

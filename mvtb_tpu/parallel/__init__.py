@@ -1,5 +1,12 @@
-"""Device mesh + sharding helpers (data parallelism over ICI)."""
+"""Device mesh + sharding helpers (data parallelism over ICI, multi-host
+over DCN)."""
 
+from mvtb_tpu.parallel.distributed import (
+    distributed_mesh,
+    global_batch,
+    initialize,
+    process_local_indices,
+)
 from mvtb_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -9,6 +16,7 @@ from mvtb_tpu.parallel.mesh import (
 )
 from mvtb_tpu.parallel.tp import shard_params_tp, shard_state_tp, tp_param_sharding
 
-__all__ = ["batch_sharding", "make_mesh", "replicate", "replicated",
+__all__ = ["batch_sharding", "distributed_mesh", "global_batch", "initialize",
+           "make_mesh", "process_local_indices", "replicate", "replicated",
            "shard_batch", "shard_params_tp", "shard_state_tp",
            "tp_param_sharding"]

@@ -95,6 +95,34 @@ def test_plane_wave_matches_op():
     assert_close(got, want)
 
 
+def test_rfft_fast_path_matches_ops():
+    """Mask-only configs take the rfftn half-spectrum path; outputs must
+    match the per-op (full complex) implementations on even and odd sizes."""
+    from mvtb_tpu.ops.fused import _rfft_eligible
+
+    for shape in [(2, 16, 16, 8), (1, 9, 9, 7), (2, 24, 20, 15)]:
+        x = jnp.asarray(np.random.RandomState(1).randn(*shape).astype(np.float32))
+        cfg = StylizeConfig(disk_r=4.0, wrap_alpha=0.25)
+        assert _rfft_eligible(cfg, shape[1:])
+        got = stylize_kspace(x, jax.random.key(0), cfg)
+        want = ops.wrap_artifact(ops.fourier_disk_filter(x, 4.0, 3, False), 0.25)
+        assert_close(got, want)
+
+    # gibbs is rfft-eligible only on all-odd sizes (half-integer center)
+    x_odd = jnp.asarray(np.random.RandomState(2).randn(1, 9, 9, 7).astype(np.float32))
+    cfg_g = StylizeConfig(gibbs_alpha=0.5)
+    assert _rfft_eligible(cfg_g, (9, 9, 7))
+    assert not _rfft_eligible(cfg_g, (8, 9, 7))
+    assert_close(stylize_kspace(x_odd, jax.random.key(0), cfg_g),
+                 ops.gibbs_noise(x_odd, 0.5))
+
+    # point writes / zero-fill force the complex path
+    assert not _rfft_eligible(StylizeConfig(disk_r=4.0, spike=True), (8, 8, 8))
+    assert not _rfft_eligible(StylizeConfig(zf_p=0.2), (8, 8, 8))
+    assert not _rfft_eligible(
+        StylizeConfig(disk_r=4.0, plane_axes=(3., 3., 3.)), (8, 8, 8))
+
+
 def test_prob_zero_stages_are_identity():
     x = _x()
     cfg = StylizeConfig(gibbs_alpha=0.8, gibbs_prob=0.0,

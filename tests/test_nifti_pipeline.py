@@ -67,6 +67,32 @@ def test_decathlon_dataset_sections(decathlon_root):
     assert s["image"].shape == (20, 20, 12, 4)
 
 
+def test_decathlon_split_membership_matches_monai_rule():
+    """MONAI _split_datalist golden: RandomState(0).shuffle(arange(10)) =
+    [2,8,4,9,1,6,7,3,0,5]; validation = first int(10*0.2) = entries 2 and 8,
+    training = the remaining eight in shuffled order."""
+    import numpy as np
+
+    entries = [{"image": f"img{i}", "label": f"lbl{i}"} for i in range(10)]
+    idx = np.arange(10)
+    np.random.RandomState(0).shuffle(idx)
+    assert idx.tolist() == [2, 8, 4, 9, 1, 6, 7, 3, 0, 5]
+
+    import json as _json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        task = os.path.join(root, "Task01_BrainTumour")
+        os.makedirs(task)
+        with open(os.path.join(task, "dataset.json"), "w") as f:
+            _json.dump({"training": entries}, f)
+        val = DecathlonDataset(root, section="validation")
+        train = DecathlonDataset(root, section="training")
+    assert [e["image"] for e in val.entries] == ["img2", "img8"]
+    assert [e["image"] for e in train.entries] == \
+        ["img4", "img9", "img1", "img6", "img7", "img3", "img0", "img5"]
+
+
 def test_decathlon_with_pipeline_and_cache(decathlon_root, tmp_path):
     ds = DecathlonDataset(decathlon_root, section="validation",
                           transform=brats_val_pipeline((16, 16, 8)),

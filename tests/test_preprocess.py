@@ -31,18 +31,63 @@ def test_reorient_las_to_ras_flips_x():
     assert orientation_from_affine(new_aff) == "RAS"
 
 
-def test_resample_doubles_shape_when_halving_spacing():
+def test_resample_shape_follows_monai_corner_rule():
+    """MONAI 0.4/0.5 Spacing output shape = round((n-1)*old/new + 1) per axis
+    (corner extents, round-half-even) — NOT ceil(n*old/new)."""
     vol = np.random.RandomState(0).rand(1, 8, 8, 8).astype(np.float32)
     aff = np.diag([2.0, 2.0, 2.0, 1.0])
     out, new_aff = resample_to_spacing(vol, aff, (1.0, 1.0, 1.0))
-    assert out.shape == (1, 16, 16, 16)
+    assert out.shape == (1, 15, 15, 15)  # round(7*2/1 + 1), not 16
     assert np.allclose(np.linalg.norm(new_aff[:3, :3], axis=0), 1.0)
+
+    # the case where the naive ceil rule diverges: 11 voxels, 1.0 -> 4.0 mm
+    vol11 = np.zeros((1, 11, 11, 11), np.float32)
+    out11, _ = resample_to_spacing(vol11, np.eye(4), (4.0, 4.0, 4.0))
+    assert out11.shape == (1, 4, 4, 4)  # round(10/4 + 1) = 4; ceil gives 3
+
+    # BraTS headline shapes are unchanged by the corner rule
+    vol_brats = np.zeros((1, 16, 16, 155), np.float32)
+    out_b, _ = resample_to_spacing(vol_brats, np.eye(4), (1.0, 1.0, 2.0))
+    assert out_b.shape[-1] == 78  # round(154/2 + 1)
 
 
 def test_resample_identity_when_spacing_matches():
     vol = np.random.RandomState(0).rand(1, 6, 6, 6).astype(np.float32)
     out, _ = resample_to_spacing(vol, np.eye(4), (1.0, 1.0, 1.0))
     np.testing.assert_allclose(out, vol, atol=1e-6)
+
+
+def test_resample_grid_anchoring_goldens():
+    """Output voxel j samples input coordinate j*new/old (corner-anchored),
+    with border clamping — hand-computed goldens for both interp orders."""
+    v = np.arange(5, dtype=np.float32)
+    vol = np.broadcast_to(v[:, None, None], (5, 5, 5)).copy()[None]
+
+    out0, _ = resample_to_spacing(vol, np.eye(4), (2.0, 2.0, 2.0),
+                                  mode="nearest")
+    assert out0.shape == (1, 3, 3, 3)
+    np.testing.assert_array_equal(out0[0, :, 0, 0], [0.0, 2.0, 4.0])
+
+    out1, _ = resample_to_spacing(vol, np.eye(4), (1.5, 1.5, 1.5),
+                                  mode="bilinear")
+    assert out1.shape == (1, 4, 4, 4)
+    # coords 0, 1.5, 3.0, 4.5 (clamped to border 4) -> 0, 1.5, 3, 4
+    np.testing.assert_allclose(out1[0, :, 0, 0], [0.0, 1.5, 3.0, 4.0],
+                               atol=1e-6)
+
+
+def test_resample_with_flipped_affine():
+    """A negative-direction affine keeps MONAI semantics: zoom_affine keeps
+    the direction sign and the corner offset anchors voxel 0."""
+    v = np.arange(5, dtype=np.float32)
+    vol = np.broadcast_to(v[:, None, None], (5, 5, 5)).copy()[None]
+    aff = np.diag([-1.0, 1.0, 1.0, 1.0])
+    aff[0, 3] = 4.0  # x_world = 4 - i
+    out, new_aff = resample_to_spacing(vol, aff, (2.0, 2.0, 2.0),
+                                       mode="nearest")
+    assert out.shape == (1, 3, 3, 3)
+    np.testing.assert_array_equal(out[0, :, 0, 0], [0.0, 2.0, 4.0])
+    assert new_aff[0, 0] == -2.0  # direction preserved
 
 
 def test_center_crop_and_pad():
