@@ -177,9 +177,76 @@ def config5():
             "unit": "iters/sec", "items_per_sec": 1e3 / ms}
 
 
+def config6():
+    """Magnitude-phase edit strategies on 4x240x240x155 k-space.
+
+    (a) round-1 production tail: full-volume log/angle -> point write ->
+        exp/cos/sin in XLA (the scatter forces the intermediates into HBM);
+    (b) Pallas fused polar round trip (one VMEM pass) + the XLA point write;
+    (c) round-2 production path: gather/scatter of the written points only.
+    """
+    from mvtb_tpu.ops.fourier import from_polar
+    from mvtb_tpu.ops.pallas_kernels import polar_roundtrip_pallas
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 240, 240, 155),
+                    np.float32)
+    k0 = jnp.fft.fftn(x, axes=(-3, -2, -1))
+
+    def xla_tail(k, i):
+        log_abs = jnp.log(jnp.abs(k) + 1e-10)
+        phase = jnp.angle(k)
+        log_abs = log_abs.at[:, 3, 5 + i * 0, 7].set(14.0)
+        return from_polar(jnp.exp(log_abs), phase)
+
+    def pallas_tail(k, i):
+        ore, oim = polar_roundtrip_pallas(jnp.real(k), jnp.imag(k))
+        out = (ore + 1j * oim).astype(k.dtype)
+        return out.at[:, 3, 5 + i * 0, 7].set(
+            jnp.exp(jnp.asarray(14.0)) * jnp.exp(1j * jnp.angle(k[:, 3, 5, 7])))
+
+    def scatter_tail(k, i):
+        idx = (slice(None), 3, 5 + i * 0, 7)
+        old = k[idx]
+        return k.at[idx].set(from_polar(jnp.exp(jnp.asarray(14.0)),
+                                        jnp.angle(old)))
+
+    out = {"name": "magnitude_edit_tail_4x240x240x155", "unit": "ms"}
+    for tag, fn in [("xla_full_chain_ms", xla_tail),
+                    ("pallas_kernel_ms", pallas_tail),
+                    ("scatter_only_ms", scatter_tail)]:
+        out[tag] = loop_time(lambda v, i, f=fn: f(v, i), k0)
+    out["ms_per_item"] = out["scatter_only_ms"]  # production path
+    out["items_per_sec"] = 1e3 / max(out["scatter_only_ms"], 1e-9)
+    return out
+
+
+def config7():
+    """Mask-only stylization: rfft half-spectrum path vs forced-complex."""
+    from mvtb_tpu.ops import fused as fused_mod
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 4, 240, 240, 154),
+                    np.float32)  # even last dim -> rfft-eligible
+    cfg = StylizeConfig(disk_r=(12.4, 12.6), wrap_alpha=0.5)
+
+    def run(v, i):
+        return stylize_batch(v, jax.random.fold_in(jax.random.key(0), i), cfg)
+
+    ms_rfft = loop_time(run, x)
+    orig = fused_mod._rfft_eligible
+    try:
+        fused_mod._rfft_eligible = lambda *_: False
+        ms_full = loop_time(run, x)
+    finally:
+        fused_mod._rfft_eligible = orig
+    return {"name": "mask_only_240x240x154_4ch_b4",
+            "rfft_ms_per_batch": ms_rfft, "complex_ms_per_batch": ms_full,
+            "speedup": ms_full / ms_rfft, "ms_per_batch": ms_rfft,
+            "items_per_sec": 4 * 1e3 / ms_rfft, "unit": "volumes/sec"}
+
+
 def main():
     results = []
-    for fn in (config1, config2, config3, config4, config5):
+    for fn in (config1, config2, config3, config4, config5, config6, config7):
         r = fn()
         print(json.dumps(r), flush=True)
         results.append(r)

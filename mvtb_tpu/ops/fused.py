@@ -260,27 +260,24 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
             weight = m if weight is None else weight * m
 
         # ---- wraparound: parity of the SHIFTED index, computed raw ----
-        # The reference's stacked pipeline order is Gibbs -> planes -> wrap
-        # (127_.../:138-141), i.e. wrap scales the plane/spike-written k-point
-        # too. With no magnitude edits the wrap factor folds into the single
-        # radial-mask multiply; with edits enabled it is deferred until after
-        # the polar write so the sequential order is preserved.
-        wrap_weight = None
+        # Folds into the single radial-mask multiply. The reference's stacked
+        # order is Gibbs -> planes -> wrap (127_.../:138-141) — wrap scales
+        # the plane/spike-written point too — preserved below by scaling each
+        # WRITTEN value with the wrap parity factor at its location
+        # (multiplying first is equivalent elsewhere: the weights commute).
+        wrap_alpha_val = None
         if cfg.wrap_alpha is not None:
             alpha = _sample(ks["wrap_alpha"], cfg.wrap_alpha, rdtype)
             g = _gate(ks["wrap_gate"], cfg.wrap_prob)
-            alpha = jnp.where(g, alpha, jnp.ones((), rdtype))
+            wrap_alpha_val = jnp.where(g, alpha, jnp.ones((), rdtype))
             for d in range(nd):
                 n = spatial[d]
                 c = n // 2
                 i = jax.lax.broadcasted_iota(jnp.int32, grid, d)
                 s = jnp.where(i < n - c, i + c, i + c - n)  # shifted index
-                w = jnp.where(s % 2 == 1, alpha, jnp.ones((), rdtype))
-                wrap_weight = w if wrap_weight is None else wrap_weight * w
-            if not (cfg.spike or cfg.plane_axes is not None):
-                weight = (wrap_weight if weight is None
-                          else weight * wrap_weight)
-                wrap_weight = None
+                w = jnp.where(s % 2 == 1, wrap_alpha_val,
+                              jnp.ones((), rdtype))
+                weight = w if weight is None else weight * w
 
         if weight is not None:
             k = k * weight  # single fused elementwise pass over k
@@ -293,13 +290,28 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
             k = k * keep.astype(rdtype)
 
         # ---- magnitude-domain edits (spikes / plane waves) ----
+        # A write at ONE k-point per channel only needs that point: gather
+        # the C complex values, set magnitude exp(target) keeping the phase,
+        # scatter back. The round-1 implementation reconstructed the ENTIRE
+        # volume through log/angle -> exp/cos/sin (a ~2 ms/volume elementwise
+        # tail at BraTS size); this does O(C) scalar work instead and leaves
+        # untouched points bit-exact. The reference's post-write wraparound
+        # (its stage order) is the parity factor at the written location.
         if cfg.spike or cfg.plane_axes is not None:
-            log_abs = jnp.log(jnp.abs(k) + 1e-10)
-            phase = jnp.angle(k)
+
+            def wrap_at(shifted):
+                f = jnp.ones((), rdtype)
+                if wrap_alpha_val is None:
+                    return f
+                for d in range(nd):
+                    f = f * jnp.where(shifted[d] % 2 == 1, wrap_alpha_val,
+                                      jnp.ones((), rdtype))
+                return f
 
             if cfg.spike:
                 if cfg.spike_range is None:
-                    means = jnp.mean(log_abs, axis=tuple(range(-nd, 0)))
+                    means = jnp.mean(jnp.log(jnp.abs(k) + 1e-10),
+                                     axis=tuple(range(-nd, 0)))
                     lo, hi = means * 0.95, means * 1.10
                 else:
                     lo = jnp.full((C,), cfg.spike_range[0], rdtype)
@@ -308,29 +320,27 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 # sample in shifted coordinates (uniform either way), then
                 # map to raw so results match the shifted-space reference
                 if cfg.spike_channel_wise:
-                    locs = tuple(
-                        _to_raw_index(
-                            jax.random.randint(loc_keys[d], (C,), 0, spatial[d]),
-                            spatial[d])
+                    shifted = tuple(
+                        jax.random.randint(loc_keys[d], (C,), 0, spatial[d])
                         for d in range(nd)
                     )
                     vals = lo + (hi - lo) * jax.random.uniform(ks["spike_val"], (C,), rdtype)
                     gates = jax.random.bernoulli(ks["spike_gate"], cfg.spike_prob, (C,))
-                    idx = (jnp.arange(C),) + locs
-                    vals = jnp.where(gates, vals, log_abs[idx])
                 else:
-                    locs = tuple(
-                        jnp.full((C,), _to_raw_index(
-                            jax.random.randint(loc_keys[d], (), 0, spatial[d]),
-                            spatial[d]))
+                    scalar_shifted = tuple(
+                        jax.random.randint(loc_keys[d], (), 0, spatial[d])
                         for d in range(nd)
                     )
+                    shifted = tuple(jnp.full((C,), s) for s in scalar_shifted)
                     u = jax.random.uniform(ks["spike_val"], (), rdtype)
-                    vals = lo + (hi - lo) * u
-                    g = _gate(ks["spike_gate"], cfg.spike_prob)
-                    idx = (jnp.arange(C),) + locs
-                    vals = jnp.where(g, vals, log_abs[idx])
-                log_abs = log_abs.at[idx].set(vals)
+                    vals = jnp.broadcast_to(lo + (hi - lo) * u, (C,))
+                    gates = jnp.full((C,), _gate(ks["spike_gate"], cfg.spike_prob))
+                locs = tuple(_to_raw_index(shifted[d], spatial[d])
+                             for d in range(nd))
+                idx = (jnp.arange(C),) + locs
+                old = k[idx]  # (C,) complex
+                new = from_polar(jnp.exp(vals), jnp.angle(old)) * wrap_at(shifted)
+                k = k.at[idx].set(jnp.where(gates, new, old))
 
             if cfg.plane_axes is not None:
                 a, b, c3 = cfg.plane_axes
@@ -341,13 +351,11 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 raw = tuple(_to_raw_index(loc[d], spatial[d]) for d in range(nd))
                 idx = (slice(None),) + raw
                 g = _gate(ks["plane_gate"], cfg.plane_prob)
-                val = jnp.where(g, jnp.asarray(cfg.plane_intensity, rdtype),
-                                log_abs[idx])
-                log_abs = log_abs.at[idx].set(val)
-
-            k = from_polar(jnp.exp(log_abs), phase)
-            if wrap_weight is not None:  # deferred wrap (reference order)
-                k = k * wrap_weight
+                old = k[idx]  # (C,) complex
+                new = from_polar(
+                    jnp.exp(jnp.asarray(cfg.plane_intensity, rdtype)),
+                    jnp.angle(old)) * wrap_at(loc)
+                k = k.at[idx].set(jnp.where(g, new, old))
 
         if use_rfft:
             out = jnp.fft.irfftn(k, s=spatial, axes=axes).astype(x.dtype)

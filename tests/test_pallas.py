@@ -54,3 +54,21 @@ def test_sap_pallas_seed_determinism(x):
     c = np.asarray(salt_and_pepper_pallas(x, 0.2, 12))
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_polar_roundtrip_interpret(x):
+    """The fused polar kernel matches the reference chain (interpret mode is
+    exact here — no PRNG involved)."""
+    from mvtb_tpu.ops.pallas_kernels import polar_roundtrip_pallas
+
+    k = jnp.fft.fftn(x, axes=(-3, -2, -1))
+    re, im = jnp.real(k).astype(jnp.float32), jnp.imag(k).astype(jnp.float32)
+    ore, oim = polar_roundtrip_pallas(re, im, interpret=not on_tpu)
+
+    mag = np.exp(np.log(np.sqrt(np.asarray(re) ** 2 + np.asarray(im) ** 2)
+                        + 1e-10))
+    theta = np.arctan2(np.asarray(im), np.asarray(re))
+    np.testing.assert_allclose(np.asarray(ore), mag * np.cos(theta),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(oim), mag * np.sin(theta),
+                               rtol=1e-4, atol=1e-3)
