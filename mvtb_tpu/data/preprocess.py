@@ -157,11 +157,19 @@ def resample_to_spacing(volume: np.ndarray, affine: np.ndarray,
     out_affine[:3, 3] = offset
 
     m = np.linalg.inv(affine) @ out_affine  # output voxel -> input voxel
+    order = 1 if mode == "bilinear" else 0
+
+    if volume.ndim == 4:  # native fast path (C++ trilinear, ~10x scipy here)
+        from mvtb_tpu import native
+
+        nat = native.resample3d(volume, m[:3, :4], out_shape, order)
+        if nat is not None:
+            return nat.astype(volume.dtype), out_affine
+
     grids = np.meshgrid(*[np.arange(n, dtype=np.float64) for n in out_shape],
                         indexing="ij")
     pts = np.stack([g.ravel() for g in grids])
     coords = (m[:3, :3] @ pts + m[:3, 3:4]).reshape((3,) + tuple(out_shape))
-    order = 1 if mode == "bilinear" else 0
     out = np.stack([
         _map_coordinates(volume[c].astype(np.float64), coords, order=order,
                          mode="nearest")
