@@ -290,14 +290,21 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
             k = k * keep.astype(rdtype)
 
         # ---- magnitude-domain edits (spikes / plane waves) ----
-        # A write at ONE k-point per channel only needs that point: gather
-        # the C complex values, set magnitude exp(target) keeping the phase,
-        # scatter back. The round-1 implementation reconstructed the ENTIRE
-        # volume through log/angle -> exp/cos/sin (a ~2 ms/volume elementwise
-        # tail at BraTS size); this does O(C) scalar work instead and leaves
-        # untouched points bit-exact. The reference's post-write wraparound
-        # (its stage order) is the parity factor at the written location.
+        # A write at ONE k-point per channel only needs that point. The
+        # round-1 implementation reconstructed the ENTIRE volume through
+        # log/angle -> exp/cos/sin (a ~2 ms/volume elementwise tail at BraTS
+        # size). Here the point's C complex values are read with a fused
+        # iota-mask reduction and written back with a fused select — XLA
+        # keeps everything in the natural layout and untouched points stay
+        # bit-exact. (A gather/scatter or dynamic-slice formulation of the
+        # same thing makes XLA pick a channel-minor tiled layout whose
+        # padded copy is ~50x the array — OOM at the 240x240x155 headline
+        # size.) The reference's post-write wraparound (its stage order) is
+        # the parity factor at the written location.
         if cfg.spike or cfg.plane_axes is not None:
+            spatial_axes = tuple(range(-nd, 0))
+            iotas = [jax.lax.broadcasted_iota(jnp.int32, spatial, d)
+                     for d in range(nd)]
 
             def wrap_at(shifted):
                 f = jnp.ones((), rdtype)
@@ -307,6 +314,21 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                     f = f * jnp.where(shifted[d] % 2 == 1, wrap_alpha_val,
                                       jnp.ones((), rdtype))
                 return f
+
+            def point_update(kk, raw_locs, target_mag, gates):
+                """Set |k| to ``target_mag`` (keeping phase) at the
+                per-channel point ``raw_locs`` (tuple of (C,) raw indices),
+                where ``gates`` (C,) allows."""
+                cdim = (slice(None),) + (None,) * nd
+                pos = None
+                for d in range(nd):
+                    eq = iotas[d][None] == raw_locs[d][cdim]
+                    pos = eq if pos is None else pos & eq
+                old = jnp.sum(jnp.where(pos, kk, jnp.zeros((), kk.dtype)),
+                              axis=spatial_axes)  # (C,) fused reduction
+                new = from_polar(target_mag.astype(rdtype), jnp.angle(old))
+                write = pos & gates[cdim]
+                return jnp.where(write, new[cdim], kk)
 
             if cfg.spike:
                 if cfg.spike_range is None:
@@ -337,10 +359,8 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                     gates = jnp.full((C,), _gate(ks["spike_gate"], cfg.spike_prob))
                 locs = tuple(_to_raw_index(shifted[d], spatial[d])
                              for d in range(nd))
-                idx = (jnp.arange(C),) + locs
-                old = k[idx]  # (C,) complex
-                new = from_polar(jnp.exp(vals), jnp.angle(old)) * wrap_at(shifted)
-                k = k.at[idx].set(jnp.where(gates, new, old))
+                k = point_update(k, locs, jnp.exp(vals) * wrap_at(shifted),
+                                 gates)
 
             if cfg.plane_axes is not None:
                 a, b, c3 = cfg.plane_axes
@@ -348,14 +368,12 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 logits = jnp.where(shell, 0.0, -jnp.inf)
                 flat = jax.random.categorical(ks["plane_loc"], logits)
                 loc = jnp.unravel_index(flat, spatial)  # shifted coords
-                raw = tuple(_to_raw_index(loc[d], spatial[d]) for d in range(nd))
-                idx = (slice(None),) + raw
+                raw = tuple(jnp.full((C,), _to_raw_index(loc[d], spatial[d]))
+                            for d in range(nd))
                 g = _gate(ks["plane_gate"], cfg.plane_prob)
-                old = k[idx]  # (C,) complex
-                new = from_polar(
-                    jnp.exp(jnp.asarray(cfg.plane_intensity, rdtype)),
-                    jnp.angle(old)) * wrap_at(loc)
-                k = k.at[idx].set(jnp.where(g, new, old))
+                mag = jnp.full((C,), jnp.exp(
+                    jnp.asarray(cfg.plane_intensity, rdtype))) * wrap_at(loc)
+                k = point_update(k, raw, mag, jnp.full((C,), g))
 
         if use_rfft:
             out = jnp.fft.irfftn(k, s=spatial, axes=axes).astype(x.dtype)
