@@ -48,12 +48,16 @@ SPATIAL = tuple(int(v) for v in os.environ.get("SPATIAL", "128,128,64").split(",
 STEPS = int(os.environ.get("STEPS", "4000"))
 BATCH = int(os.environ.get("BATCH", "8"))
 CHUNK = int(os.environ.get("CHUNK", "100"))
+FAMILY = os.environ.get("FAMILY", "disk")  # disk | planes
 DISK_R = float(os.environ.get("DISK_R", "12.5"))
+PLANE_I = float(os.environ.get("PLANE_I", "14"))
 POOL = int(os.environ.get("POOL", "64"))
 VAL_POOL = int(os.environ.get("VAL_POOL", "24"))
 OUTDIR = os.environ.get("OUTDIR", "reports/robustness_gain")
 EVAL_RADII = [float(v) for v in os.environ.get(
     "EVAL_RADII", "9,12.5,15,20,25").split(",") if v]
+EVAL_INTENSITIES = [float(v) for v in os.environ.get(
+    "EVAL_INTENSITIES", "12,14,16").split(",") if v]
 SEED = int(os.environ.get("SEED", "0"))
 
 
@@ -129,14 +133,21 @@ def _corrupt_disk(x, r):
                          axes=axes).real.astype(x.dtype)
 
 
-def _evaluate(state, va_i, va_l, radius):
+def _evaluate(state, va_i, va_l, corrupt):
+    """``corrupt``: None, a disk radius (traced — shares one compile), or a
+    StylizeConfig applied via stylize_batch (plane-wave family)."""
+    from mvtb_tpu.ops.fused import StylizeConfig, stylize_batch
     from mvtb_tpu.train import EpochMetrics, seg_eval_step
 
     metrics = EpochMetrics()
+    key = jax.random.key(SEED + 4242)
     for i in range(0, va_i.shape[0], BATCH):
         img = va_i[i:i + BATCH]
-        if radius is not None:
-            img = _corrupt_disk(img, jnp.float32(radius))
+        if isinstance(corrupt, StylizeConfig):
+            key, sub = jax.random.split(key)
+            img = stylize_batch(img, sub, corrupt)
+        elif corrupt is not None:
+            img = _corrupt_disk(img, jnp.float32(corrupt))
         scores = seg_eval_step(state, img, va_l[i:i + BATCH])
         metrics.update(np.asarray(scores))
     return metrics.result()
@@ -157,28 +168,44 @@ def main() -> None:
     va_i, va_l = jnp.asarray(va_imgs), jnp.asarray(va_lbls)
     del tr_imgs, tr_lbls, va_imgs, va_lbls
 
-    sty = StylizeConfig(disk_r=DISK_R, disk_prob=1.0)
+    if FAMILY == "disk":
+        sty = StylizeConfig(disk_r=DISK_R, disk_prob=1.0)
+        styl_name = f"gibbs{DISK_R}"
+        eval_sets = {"clean": None}
+        eval_sets.update({f"gibbs{r}": r for r in EVAL_RADII})
+        diag = f"gibbs{DISK_R}"
+    elif FAMILY == "planes":
+        # the reference's plane-wave family: one magnitude write on the
+        # (55, 55, 30) shell per sample (stylized_planes14.py:76-78,133)
+        sty = StylizeConfig(plane_axes=(55.0, 55.0, 30.0),
+                            plane_intensity=PLANE_I, plane_prob=1.0)
+        styl_name = f"planes{PLANE_I}"
+        eval_sets = {"clean": None}
+        eval_sets.update({
+            f"planes{i}": StylizeConfig(plane_axes=(55.0, 55.0, 30.0),
+                                        plane_intensity=float(i),
+                                        plane_prob=1.0)
+            for i in EVAL_INTENSITIES})
+        diag = f"planes{PLANE_I}"
+    else:
+        raise ValueError(f"unknown FAMILY {FAMILY}")
+
     models, histories = {}, {}
     key = jax.random.key(SEED + 1)
-    for name, train_sty in [("baseline", None), (f"gibbs{DISK_R}", sty)]:
+    for name, train_sty in [("baseline", None), (styl_name, sty)]:
         key, sub = jax.random.split(key)
         models[name], histories[name] = _train(name, train_sty, pool_i,
                                                pool_l, sub)
 
-    eval_sets = {"clean": None}
-    eval_sets.update({f"gibbs{r}": r for r in EVAL_RADII})
-
     table = {}
     for mname, state in models.items():
         table[mname] = {}
-        for ename, radius in eval_sets.items():
-            res = _evaluate(state, va_i, va_l, radius)
+        for ename, corrupt in eval_sets.items():
+            res = _evaluate(state, va_i, va_l, corrupt)
             table[mname][ename] = res
             print(f"eval {mname} on {ename}: mean {res['mean']:.4f} "
                   f"per-class {[round(v, 4) for v in res['per_class']]}",
                   flush=True)
-
-    diag = f"gibbs{DISK_R}"
     base_clean = table["baseline"]["clean"]["mean"]
     base_corr = table["baseline"][diag]["mean"]
     styl_corr = table[diag][diag]["mean"]
@@ -190,17 +217,24 @@ def main() -> None:
         "robustness_gain": styl_corr - base_corr,
         "effect_reproduced": bool(styl_corr > base_corr
                                   and (base_clean - base_corr) > 0.05),
-        "reference_shape": {
+        "reference_shape": ({
             "baseline_clean": 0.7433, "baseline_on_gibbs9": 0.6101,
             "stylized12p5_on_gibbs12p5": 0.7194,
             "baseline_on_gibbs12p5": 0.6777,
-        },
+        } if FAMILY == "disk" else {
+            # 20_results/30_planes_waves pickles (BASELINE.md): plane waves
+            # are catastrophic for the baseline, recoverable by stylization
+            "baseline_clean": 0.7433, "baseline_on_planes17": 0.0180,
+            "planes17_on_planes17": 0.7113,
+        }),
     }
     out = {"spatial": SPATIAL, "steps": STEPS, "batch": BATCH,
-           "disk_r": DISK_R, "pool": POOL, "val_pool": VAL_POOL,
+           "family": FAMILY, "disk_r": DISK_R, "plane_i": PLANE_I,
+           "pool": POOL, "val_pool": VAL_POOL,
            "seed": SEED, "table": table, "effect": effect,
            "histories": histories}
-    path = os.path.join(OUTDIR, "robustness_gain.json")
+    suffix = "" if FAMILY == "disk" else f"_{FAMILY}"
+    path = os.path.join(OUTDIR, f"robustness_gain{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(effect, indent=2))

@@ -244,6 +244,12 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                 history["d_loss"].append(float(m["d_loss"]))
             log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
                 f"G {history['g_loss'][-1]:.3f} D {history['d_loss'][-1]:.3f}")
+        from mvtb_tpu.eval.fid import dcgan_fid
+
+        fid = dcgan_fid(g_state, d_state,
+                        [next(data_it) for _ in range(4)],
+                        jax.random.key(777), nz=cfg.nz)
+        log(f"[{cfg.name}] discriminator-feature FID {fid:.2f}")
         if workdir:
             from mvtb_tpu.eval.plots import save_image_grid
 
@@ -255,7 +261,8 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
             save_image_grid(np.asarray(fake), os.path.join(
                 workdir, f"samples_{cfg.name}.png"), nrow=4,
                 title=f"{cfg.name} samples")
-        return {"history": history, "g_state": g_state, "d_state": d_state}
+        return {"history": history, "fid": fid, "g_state": g_state,
+                "d_state": d_state}
 
     # ReconGAN family
     g = ResUnetGenerator(in_chans=cfg.in_channels, nf=16,
@@ -398,7 +405,7 @@ def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
     if workdir:
         serializable = {k: v for k, v in result.items()
                         if k in ("history", "best_dice", "trajectory",
-                                 "losses", "wall_time_s")}
+                                 "losses", "wall_time_s", "fid")}
         with open(os.path.join(workdir, f"{cfg.name}_result.json"), "w") as f:
             json.dump(serializable, f, indent=2)
     return result
