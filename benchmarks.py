@@ -192,29 +192,49 @@ def config6():
                     np.float32)
     k0 = jnp.fft.fftn(x, axes=(-3, -2, -1))
 
+    C = 4
+
+    def _idx(i):
+        # round-1-style advanced indexing: (arange(C), loc, loc, loc) — the
+        # mixed slice+scalar form provokes a channel-minor layout copy (OOM)
+        return (jnp.arange(C), jnp.full((C,), 3), jnp.full((C,), 5 + i * 0),
+                jnp.full((C,), 7))
+
     def xla_tail(k, i):
         log_abs = jnp.log(jnp.abs(k) + 1e-10)
         phase = jnp.angle(k)
-        log_abs = log_abs.at[:, 3, 5 + i * 0, 7].set(14.0)
+        log_abs = log_abs.at[_idx(i)].set(14.0)
         return from_polar(jnp.exp(log_abs), phase)
 
     def pallas_tail(k, i):
         ore, oim = polar_roundtrip_pallas(jnp.real(k), jnp.imag(k))
         out = (ore + 1j * oim).astype(k.dtype)
-        return out.at[:, 3, 5 + i * 0, 7].set(
-            jnp.exp(jnp.asarray(14.0)) * jnp.exp(1j * jnp.angle(k[:, 3, 5, 7])))
+        idx = _idx(i)
+        return out.at[idx].set(
+            jnp.exp(jnp.asarray(14.0)) * jnp.exp(1j * jnp.angle(k[idx])))
 
     def scatter_tail(k, i):
-        idx = (slice(None), 3, 5 + i * 0, 7)
-        old = k[idx]
-        return k.at[idx].set(from_polar(jnp.exp(jnp.asarray(14.0)),
-                                        jnp.angle(old)))
+        # the production formulation: iota-mask select (ops/fused.py)
+        idx = _idx(i)
+        pos = None
+        for d in range(3):
+            eq = (jax.lax.broadcasted_iota(jnp.int32, k.shape[1:], d)[None]
+                  == idx[1 + d][:, None, None, None])
+            pos = eq if pos is None else pos & eq
+        old = jnp.sum(jnp.where(pos, k, 0), axis=(-3, -2, -1))
+        new = from_polar(jnp.exp(jnp.full((C,), 14.0)), jnp.angle(old))
+        return jnp.where(pos, new[:, None, None, None], k)
 
     out = {"name": "magnitude_edit_tail_4x240x240x155", "unit": "ms"}
     for tag, fn in [("xla_full_chain_ms", xla_tail),
                     ("pallas_kernel_ms", pallas_tail),
                     ("scatter_only_ms", scatter_tail)]:
-        out[tag] = loop_time(lambda v, i, f=fn: f(v, i), k0)
+        # perturb the input per iteration: with a loop-invariant k the whole
+        # polar decomposition hoists out of the timing loop and the slope
+        # collapses to ~0
+        out[tag] = loop_time(
+            lambda v, i, f=fn: f(v * (1 + 1e-12 * i.astype(jnp.float32)), i),
+            k0)
     out["ms_per_item"] = out["scatter_only_ms"]  # production path
     out["items_per_sec"] = 1e3 / max(out["scatter_only_ms"], 1e-9)
     return out

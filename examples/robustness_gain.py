@@ -31,7 +31,6 @@ import json
 import os
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
@@ -69,54 +68,20 @@ def _make_pool(seed: int, n: int):
     return (np.stack([v[0] for v in vols]), np.stack([v[1] for v in vols]))
 
 
-def _make_chunk_fn(stylize):
-    """One jitted dispatch = CHUNK train steps over the device-resident pool.
-
-    The pool travels as arguments (closure capture would embed it as an HLO
-    constant — pathological for remote compiles); the state is donated so
-    params/moments update in place chunk over chunk.
-    """
-    from mvtb_tpu.train import seg_train_step
-
-    @partial(jax.jit, donate_argnums=(0,))
-    def chunk_fn(state, key, pool_i, pool_l, idxs):
-        def body(i, carry):
-            state, key, _ = carry
-            key, sub = jax.random.split(key)
-            img = jnp.take(pool_i, idxs[i], axis=0)
-            lbl = jnp.take(pool_l, idxs[i], axis=0)
-            state, loss = seg_train_step(state, img, lbl, sub, stylize)
-            return (state, key, loss)
-
-        return jax.lax.fori_loop(0, idxs.shape[0], body,
-                                 (state, key, jnp.float32(0)))
-
-    return chunk_fn
-
-
 def _train(name, stylize, pool_i, pool_l, key):
     from mvtb_tpu.models import UNet
-    from mvtb_tpu.train import create_seg_state, reference_optimizer
+    from mvtb_tpu.train import (create_seg_state, reference_optimizer,
+                                train_chunked)
 
     model = UNet(out_channels=3, dtype=jnp.bfloat16)
     state = create_seg_state(jax.random.key(SEED), model,
                              (1,) + SPATIAL + (4,),
                              tx=reference_optimizer())
-    chunk_fn = _make_chunk_fn(stylize)
-    rng = np.random.RandomState(SEED + 17)
-    losses = []
-    t0 = time.time()
-    done = 0
-    while done < STEPS:
-        n = min(CHUNK, STEPS - done)
-        idxs = jnp.asarray(rng.randint(0, pool_i.shape[0], (n, BATCH)))
-        state, key, loss = chunk_fn(state, key, pool_i, pool_l, idxs)
-        done += n
-        l = float(loss)  # host sync once per chunk
-        losses.append({"step": done, "loss": l})
-        print(f"[{name}] step {done}/{STEPS} loss {l:.4f} "
-              f"({time.time() - t0:.0f}s)", flush=True)
-    return state, losses
+    return train_chunked(
+        state, pool_i, pool_l, steps=STEPS, batch_size=BATCH, key=key,
+        stylize=stylize, chunk=CHUNK,
+        sample_rng=np.random.RandomState(SEED + 17),
+        log=lambda s: print(s, flush=True), name=name)
 
 
 @jax.jit
