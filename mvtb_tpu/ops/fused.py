@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 from typing import Optional, Tuple, Union
 
 import jax
@@ -394,7 +395,15 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
     return out
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def stylize_batch(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
-    """vmap of :func:`stylize_kspace` over a leading batch axis."""
+    """vmap of :func:`stylize_kspace` over a leading batch axis.
+
+    Jitted at the boundary: inside an outer jit this inlines, and eager
+    callers (evaluation sweeps) get one compiled program instead of op-by-op
+    dispatch — which on this TPU runtime is both ~100x slower through the
+    tunnel and can hit unimplemented standalone lowerings (a batched
+    complex-select in the plane-wave path fails eagerly at some shapes).
+    """
     keys = jax.random.split(key, x.shape[0])
     return jax.vmap(stylize_kspace, in_axes=(0, 0, None))(x, keys, cfg)
