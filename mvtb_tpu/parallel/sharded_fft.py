@@ -172,8 +172,13 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                            (dg[None] == raw[2][:, None, None, None]))
                     write = pos & gates[:, None, None, None]
                     mag = jnp.exp(vals) * wrap_at(shifted)
+                    # canonicalize signed zeros before taking the phase: a
+                    # disk-masked point is (+-0.0 +- 0.0j) and angle(-0.0)
+                    # is pi, which would flip the written wave's sign vs the
+                    # single-chip path (whose sum-reduction yields +0.0)
+                    kk_phase = jnp.where(kk == 0, jnp.zeros((), kk.dtype), kk)
                     new = from_polar(mag[:, None, None, None]
-                                     .astype(rdtype), jnp.angle(kk))
+                                     .astype(rdtype), jnp.angle(kk_phase))
                     return jnp.where(write, new, kk)
 
                 if cfg.spike:
