@@ -29,11 +29,21 @@ _NIFTI_DTYPES = {
 }
 
 
-def read_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
+def read_nifti(path: str, prefer_native: bool = True
+               ) -> Tuple[np.ndarray, np.ndarray]:
     """Read a NIfTI-1 file -> (data array, 4x4 voxel->world affine).
 
     Supports the single-file ``.nii``/``.nii.gz`` layout BraTS/TCGA use.
+    When the native decoder is available (``mvtb_tpu.native.nifti_read``,
+    one fused inflate+convert pass) it is used and the result dtype is
+    float32; the pure-Python path below preserves the on-disk dtype.
     """
+    if prefer_native:
+        from mvtb_tpu import native
+
+        out = native.nifti_read(path)
+        if out is not None:
+            return out
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         header = f.read(348)
@@ -58,7 +68,9 @@ def read_nifti(path: str) -> Tuple[np.ndarray, np.ndarray]:
                              count=int(np.prod(shape)))
     data = data.reshape(shape, order="F")
     if scl_slope not in (0.0, 1.0):
-        data = data * scl_slope + scl_inter
+        # float64 scaling arithmetic (nibabel semantics; the native decoder
+        # computes the same product in double before narrowing to float32)
+        data = data.astype(np.float64) * scl_slope + scl_inter
     affine = np.eye(4)
     affine[0], affine[1], affine[2] = srow_x, srow_y, srow_z
     if not np.isfinite(affine).all() or np.allclose(affine[:3, :3], 0):

@@ -3,7 +3,9 @@
 The reference is pure Python (SURVEY.md section 2.5) so nothing here is a
 port; these exist because the 1-core host in this deployment must keep a TPU
 fed. Currently: the trilinear/nearest resampler behind
-``mvtb_tpu.data.preprocess.resample_to_spacing``.
+``mvtb_tpu.data.preprocess.resample_to_spacing`` and the one-pass NIfTI-1
+decoder (gzip inflate fused with dtype conversion) behind
+``mvtb_tpu.data.nifti.read_nifti``.
 
 The shared library is built on demand with g++ (one-time, cached next to
 the source as ``libmvtbnative.so``); every entry point falls back to the
@@ -21,7 +23,7 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "resample.cpp")
+_SRCS = [os.path.join(_DIR, "resample.cpp"), os.path.join(_DIR, "nifti.cpp")]
 _LIB = os.path.join(_DIR, "libmvtbnative.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -29,7 +31,7 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", *_SRCS, "-o", _LIB, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -43,14 +45,20 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB) or (
-                os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        if not os.path.exists(_LIB) or any(
+                os.path.getmtime(_LIB) < os.path.getmtime(s) for s in _SRCS):
             if not _build():
                 return None
         try:
             lib = ctypes.CDLL(_LIB)
         except OSError:
             return None
+        lib.nifti_read_header.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double)]
+        lib.nifti_read_header.restype = ctypes.c_int
+        lib.nifti_read_f32.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.nifti_read_f32.restype = ctypes.c_int
         lib.resample3d_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float),                 # in
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -93,3 +101,41 @@ def resample3d(volume: np.ndarray, matrix: np.ndarray, out_shape,
         int(order),
     )
     return out
+
+
+def nifti_read(path: str):
+    """Native NIfTI-1 read -> (float32 Fortran-order array, 4x4 affine),
+    or None when the library is absent / the file needs the Python path
+    (big-endian, exotic dtype, NIfTI-2).
+
+    One fused pass: gzip inflate -> dtype convert -> scl scaling, straight
+    into the result buffer. Semantics match
+    ``mvtb_tpu.data.nifti.read_nifti`` (reference ingest:
+    ``source_code/baseline.py:116-130`` via nibabel/MONAI), except the
+    result dtype is always float32.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    hdr = np.zeros(24, np.float64)
+    rc = lib.nifti_read_header(
+        path.encode(), hdr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    if rc != 0:
+        if rc in (-3, -4):  # not LE NIfTI-1 / unsupported dtype
+            return None
+        raise OSError(f"native NIfTI header parse failed for {path} ({rc})")
+    ndim = int(hdr[0])
+    shape = tuple(int(d) for d in hdr[1:1 + ndim])
+    n = int(np.prod(shape))
+    flat = np.empty(n, np.float32)
+    rc = lib.nifti_read_f32(
+        path.encode(), flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n))
+    if rc != 0:
+        raise OSError(f"native NIfTI decode failed for {path} ({rc})")
+    data = flat.reshape(shape, order="F")
+    affine = np.eye(4)
+    affine[:3, :] = hdr[12:24].reshape(3, 4)
+    if not np.isfinite(affine).all() or np.allclose(affine[:3, :3], 0):
+        affine = np.eye(4)
+    return data, affine
