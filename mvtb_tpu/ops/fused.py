@@ -151,20 +151,32 @@ def _rfft_eligible(cfg: StylizeConfig, spatial) -> bool:
     """True when the k-space portion can run through rfftn/irfftn (half the
     FFT flops and half the elementwise/HBM traffic on the weight multiply).
 
-    Correct iff every active k-space weight is mod-n symmetric
-    (``w[i] == w[(n-i) % n]``), so the weighted spectrum of a real input
-    stays Hermitian: the disk mask (center floor(n/2)) and the wraparound
-    parity weight are symmetric for ALL sizes; the GibbsNoise mask's
-    half-integer center ((n-1)/2) is symmetric only for odd sizes. Point
-    writes (spike/plane) and random zero-fill break symmetry and take the
-    complex path. Verified bit-exact in tests/test_fused.py.
+    Multiplicative weights ride the half spectrum iff they are mod-n
+    symmetric (``w[i] == w[(n-i) % n]``), so the weighted spectrum of a real
+    input stays Hermitian: the disk mask (center floor(n/2)) and the
+    wraparound parity weight are symmetric for ALL sizes; the GibbsNoise
+    mask's half-integer center ((n-1)/2) is symmetric only for odd sizes.
+
+    Point writes (spike/plane) ride the half spectrum too, because the
+    final ``.real`` projection makes the full-path write exactly Hermitian:
+    writing ``w`` at point ``s`` then realifying yields the spectrum update
+    ``K[s] = (w + conj(k[-s]))/2`` with the conjugate at ``-s`` — i.e. the
+    half-grid update ``H[c] += (w - k[s])/2`` (conjugated when ``s``'s
+    canonical half-grid representative ``c`` is its mirror). irfftn's
+    implicit completion places ``conj(H[c])`` at the true Hermitian mirror
+    ``-c`` (and drops the imaginary part at fully self-mirrored points),
+    which is precisely the projection the complex path applies — see
+    ``point_update`` below. Random zero-fill keeps the complex path (its
+    Bernoulli mask is asymmetric and per-point draw parity matters).
+    Verified against the complex path in tests/test_fused.py.
     """
-    if cfg.spike or cfg.plane_axes is not None or cfg.zf_p is not None:
+    if cfg.zf_p is not None:
         return False
     if cfg.gibbs_alpha is not None and any(n % 2 == 0 for n in spatial):
         return False
     return (cfg.disk_r is not None or cfg.wrap_alpha is not None
-            or cfg.gibbs_alpha is not None)
+            or cfg.gibbs_alpha is not None or cfg.spike
+            or cfg.plane_axes is not None)
 
 
 def _to_raw_index(shifted_idx, n: int):
@@ -304,7 +316,7 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
         # the parity factor at the written location.
         if cfg.spike or cfg.plane_axes is not None:
             spatial_axes = tuple(range(-nd, 0))
-            iotas = [jax.lax.broadcasted_iota(jnp.int32, spatial, d)
+            iotas = [jax.lax.broadcasted_iota(jnp.int32, grid, d)
                      for d in range(nd)]
 
             def wrap_at(shifted):
@@ -318,23 +330,71 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
 
             def point_update(kk, raw_locs, target_mag, gates):
                 """Set |k| to ``target_mag`` (keeping phase) at the
-                per-channel point ``raw_locs`` (tuple of (C,) raw indices),
-                where ``gates`` (C,) allows."""
+                per-channel point ``raw_locs`` (tuple of (C,) raw FULL-grid
+                indices), where ``gates`` (C,) allows.
+
+                Complex mode: a fused iota-mask read + select write.
+                rfft mode: the realified-write update derived in
+                ``_rfft_eligible`` — canonicalize ``s`` into the half grid
+                (mirroring through ``-s mod n`` when its last index falls in
+                the discarded half, conjugating the value), then
+                ``H[c] += (w - k[s]) * scale``. ``scale`` accounts for
+                irfftn's completion coefficient (verified exhaustively over
+                all grid points, tests/test_fused.py): interior last-axis
+                bins contribute ``delta`` at ``s`` plus ``conj(delta)`` at
+                the true Hermitian mirror ``-s`` (scale 1/2); on the
+                self-mirrored last-axis bins (0 and n/2) the in-plane
+                Hermitian projection halves the contribution (scale 1 —
+                including fully self-mirrored points, where only
+                ``Re(delta)`` survives but the full path likewise keeps
+                only ``Re(w)``). The += form also makes colliding
+                per-channel writes accumulate instead of last-write-wins.
+                """
                 cdim = (slice(None),) + (None,) * nd
+                if use_rfft:
+                    in_half = raw_locs[-1] < grid[-1]
+                    locs = tuple(
+                        jnp.where(in_half, raw_locs[d],
+                                  (spatial[d] - raw_locs[d]) % spatial[d])
+                        for d in range(nd))
+                else:
+                    locs = raw_locs
                 pos = None
                 for d in range(nd):
-                    eq = iotas[d][None] == raw_locs[d][cdim]
+                    eq = iotas[d][None] == locs[d][cdim]
                     pos = eq if pos is None else pos & eq
-                old = jnp.sum(jnp.where(pos, kk, jnp.zeros((), kk.dtype)),
-                              axis=spatial_axes)  # (C,) fused reduction
+                read = jnp.sum(jnp.where(pos, kk, jnp.zeros((), kk.dtype)),
+                               axis=spatial_axes)  # (C,) fused reduction
+                if not use_rfft:
+                    new = from_polar(target_mag.astype(rdtype),
+                                     jnp.angle(read))
+                    write = pos & gates[cdim]
+                    return jnp.where(write, new[cdim], kk)
+                old = jnp.where(in_half, read, jnp.conj(read))  # k[s]
                 new = from_polar(target_mag.astype(rdtype), jnp.angle(old))
-                write = pos & gates[cdim]
-                return jnp.where(write, new[cdim], kk)
+                z_self = (locs[-1] == 0) | (2 * locs[-1] == spatial[-1])
+                scale = jnp.where(z_self, 1.0, 0.5).astype(rdtype)
+                delta = (new - old) * scale
+                delta = jnp.where(in_half, delta, jnp.conj(delta))
+                delta = jnp.where(gates, delta, jnp.zeros((), kk.dtype))
+                return kk + jnp.where(pos, delta[cdim],
+                                      jnp.zeros((), kk.dtype))
 
             if cfg.spike:
                 if cfg.spike_range is None:
-                    means = jnp.mean(jnp.log(jnp.abs(k) + 1e-10),
-                                     axis=tuple(range(-nd, 0)))
+                    logmag = jnp.log(jnp.abs(k) + 1e-10)
+                    if use_rfft:
+                        # full-grid mean from the half spectrum: interior
+                        # last-axis bins appear twice in the full grid
+                        # (|k| at a point equals |k| at its mirror)
+                        w_last = jnp.full((grid[-1],), 2.0, rdtype)
+                        w_last = w_last.at[0].set(1.0)
+                        if spatial[-1] % 2 == 0:
+                            w_last = w_last.at[-1].set(1.0)
+                        means = (jnp.sum(logmag * w_last, axis=spatial_axes)
+                                 / float(math.prod(spatial)))
+                    else:
+                        means = jnp.mean(logmag, axis=spatial_axes)
                     lo, hi = means * 0.95, means * 1.10
                 else:
                     lo = jnp.full((C,), cfg.spike_range[0], rdtype)

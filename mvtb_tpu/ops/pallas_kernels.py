@@ -54,17 +54,20 @@ def _polar_kernel(re_ref, im_ref, ore_ref, oim_ref):
     """One grid step: magnitude-phase decompose + recombine on a tile.
 
     The faithful reference chain (``KSpaceSpikeNoise``, FO:906-945):
-    ``exp(log(|k| + 1e-10)) * (cos(angle k), sin(angle k))`` — five
-    transcendentals per element, fused into a single VMEM pass (two reads,
-    two writes) instead of XLA's materialized log-magnitude and phase
-    intermediates.
+    ``exp(log(|k| + 1e-10)) * (cos(angle k), sin(angle k))``, fused into a
+    single VMEM pass (two reads, two writes) instead of XLA's materialized
+    log-magnitude and phase intermediates. ``cos/sin(angle k)`` are computed
+    directly as ``re/|k|, im/|k|`` (identical by definition, with atan2's
+    zero convention ``cos=1, sin=0`` at the origin) — Mosaic has no atan2
+    lowering, and the division form is cheaper anyway.
     """
     re = re_ref[:]
     im = im_ref[:]
-    mag = jnp.exp(jnp.log(jnp.sqrt(re * re + im * im) + 1e-10))
-    theta = jnp.arctan2(im, re)
-    ore_ref[:] = mag * jnp.cos(theta)
-    oim_ref[:] = mag * jnp.sin(theta)
+    r = jnp.sqrt(re * re + im * im)
+    mag = jnp.exp(jnp.log(r + 1e-10))
+    safe = jnp.where(r > 0, r, 1.0)
+    ore_ref[:] = mag * jnp.where(r > 0, re / safe, 1.0)
+    oim_ref[:] = mag * jnp.where(r > 0, im / safe, 0.0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -116,11 +116,80 @@ def test_rfft_fast_path_matches_ops():
     assert_close(stylize_kspace(x_odd, jax.random.key(0), cfg_g),
                  ops.gibbs_noise(x_odd, 0.5))
 
-    # point writes / zero-fill force the complex path
-    assert not _rfft_eligible(StylizeConfig(disk_r=4.0, spike=True), (8, 8, 8))
-    assert not _rfft_eligible(StylizeConfig(zf_p=0.2), (8, 8, 8))
-    assert not _rfft_eligible(
+    # point writes ride the half spectrum (Hermitian-projected write);
+    # random zero-fill forces the complex path
+    assert _rfft_eligible(StylizeConfig(disk_r=4.0, spike=True), (8, 8, 8))
+    assert _rfft_eligible(
         StylizeConfig(disk_r=4.0, plane_axes=(3., 3., 3.)), (8, 8, 8))
+    assert not _rfft_eligible(StylizeConfig(zf_p=0.2), (8, 8, 8))
+
+
+def test_rfft_point_write_rule_exhaustive():
+    """The half-grid realified-write rule (point_update's rfft mode) vs the
+    full complex path, for EVERY grid point of odd/even shapes: write
+    magnitude m at s keeping phase, project to real. scale = 1 on
+    self-mirrored last-axis bins, 1/2 elsewhere."""
+    rng = np.random.RandomState(0)
+    for shape in [(4, 4, 4), (5, 4, 6), (6, 5, 7)]:
+        nx, ny, nz = shape
+        nzh = nz // 2 + 1
+        x = rng.randn(*shape)
+        k = np.fft.fftn(x)
+        H0 = np.fft.rfftn(x)
+        for s in np.ndindex(*shape):
+            w = 3.0 * np.exp(1j * np.angle(k[s]))
+            kf = k.copy()
+            kf[s] = w
+            want = np.fft.ifftn(kf).real
+            in_half = s[2] < nzh
+            c = s if in_half else tuple((n - i) % n for i, n in zip(s, shape))
+            H = H0.copy()
+            old = H[c] if in_half else np.conj(H[c])
+            new = 3.0 * np.exp(1j * np.angle(old))
+            scale = 1.0 if (c[2] == 0 or 2 * c[2] == nz) else 0.5
+            d = (new - old) * scale
+            H[c] += d if in_half else np.conj(d)
+            got = np.fft.irfftn(H, s=shape, axes=(0, 1, 2))
+            np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_rfft_point_writes_match_complex_path():
+    """Integrated check: spike/plane configs produce the same output through
+    the rfft half-spectrum path as through the forced complex path."""
+    import mvtb_tpu.ops.fused as fused_mod
+
+    real_eligible = fused_mod._rfft_eligible
+
+    def run(x, key, cfg, force_complex):
+        fused_mod._rfft_eligible = ((lambda *a: False) if force_complex
+                                    else real_eligible)
+        try:
+            return jax.jit(fused_mod.stylize_kspace,
+                           static_argnames="cfg")(x, key, cfg)
+        finally:
+            fused_mod._rfft_eligible = real_eligible
+
+    configs = [
+        StylizeConfig(spike=True, spike_range=(2.0, 3.0)),
+        StylizeConfig(spike=True, spike_channel_wise=False),  # default range
+        StylizeConfig(plane_axes=(2.0, 2.0, 1.5), plane_intensity=3.0),
+        StylizeConfig(disk_r=(2.0, 3.0), plane_axes=(2.5, 2.5, 1.5),
+                      plane_intensity=3.0, spike=True, spike_range=(2.0, 2.5),
+                      wrap_alpha=0.5, sap_p=0.05),
+        StylizeConfig(spike=True, spike_range=(2.0, 3.0), spike_prob=0.5,
+                      plane_axes=(2.0, 2.0, 1.5), plane_prob=0.5),
+    ]
+    rng = np.random.RandomState(3)
+    for shape in [(2, 4, 4, 4), (2, 6, 5, 7)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        for cfg in configs:
+            assert fused_mod._rfft_eligible(cfg, shape[1:])
+            for i in range(12):  # small grids hit the self-mirror bins
+                key = jax.random.key(i)
+                a = np.asarray(run(x, key, cfg, False))
+                b = np.asarray(run(x, key, cfg, True))
+                scale = max(1.0, float(np.abs(b).max()))
+                np.testing.assert_allclose(a, b, atol=2e-5 * scale)
 
 
 def test_prob_zero_stages_are_identity():
