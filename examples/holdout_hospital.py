@@ -1,0 +1,162 @@
+"""Hold-out-hospital experiment: does stylization shrink the generalization gap?
+
+The reference's institutional-distribution claim (``10_scripts/
+300_instutional_distribution/baseline_domain.py`` + the ``stylized_*_domain``
+variants, evaluated in ``TCGA_hospital_distribution_test.ipynb``): a model
+trained on three hospitals and evaluated on a fourth pays a generalization
+gap, and k-space stylization at train time shrinks it by erasing
+institution-specific acquisition signatures.
+
+Demonstrated here end-to-end on textured synthetic hospitals
+(:func:`mvtb_tpu.data.tcga.textured_hospital_samples` — real TCGA volumes
+are unavailable in this environment): each hospital's healthy tissue carries
+a scanner-specific high-k texture band, tumor suppresses it, and a weaker
+band-independent mean offset is the domain-invariant cue. All bands lie
+outside the r=12.5 disk, so the gibbs12.5-stylized model never sees the
+hospital signatures and must learn the invariant cue.
+
+TPU-shaped: pools live in HBM, training runs as jitted ``fori_loop`` chunks
+(mvtb_tpu.train.train_chunked), evaluation is clean per-hospital Dice.
+
+Run (TPU): ``python examples/holdout_hospital.py``
+Env knobs: SPATIAL, STEPS, BATCH, CHUNK, N_PER_HOSPITAL, DISK_R, OUTDIR, SEED.
+Writes ``<OUTDIR>/holdout_hospital.json`` (+ learning curves).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mvtb_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+SPATIAL = tuple(int(v) for v in os.environ.get("SPATIAL", "128,128,64").split(","))
+STEPS = int(os.environ.get("STEPS", "2500"))
+BATCH = int(os.environ.get("BATCH", "8"))
+EVAL_BATCH = int(os.environ.get("EVAL_BATCH", "4"))
+CHUNK = int(os.environ.get("CHUNK", "100"))
+N_PER_HOSPITAL = int(os.environ.get("N_PER_HOSPITAL", "16"))
+DISK_R = float(os.environ.get("DISK_R", "12.5"))
+OUTDIR = os.environ.get("OUTDIR", "reports/holdout_hospital")
+SEED = int(os.environ.get("SEED", "0"))
+
+HOSPITALS = ["hospital_A", "hospital_B", "hospital_C"]
+
+
+def _stack(samples):
+    # channel-first (B, C, *spatial) — the package's API-surface layout;
+    # the train/eval steps transpose to channel-last internally
+    imgs = np.stack([s["image"] for s in samples])
+    lbls = np.stack([s["label"] for s in samples])
+    return imgs.astype(np.float32), lbls.astype(np.float32)
+
+
+def _make_pools():
+    """Same membership protocol as data.tcga.domain_loaders(kind="textured"):
+    per-hospital seeds seed+i, 0.75/0.25 partition at seed, holdout seed+99."""
+    from mvtb_tpu.data.tcga import partition_dataset, textured_hospital_samples
+
+    train_samples, val_sets = [], {}
+    for i, hospital in enumerate(HOSPITALS):
+        samples = textured_hospital_samples(hospital, N_PER_HOSPITAL,
+                                            SEED + i, SPATIAL)
+        tr, va = partition_dataset(samples, (0.75, 0.25), seed=SEED)
+        train_samples += tr
+        val_sets[hospital] = _stack(va)
+    val_sets["holdout"] = _stack(textured_hospital_samples(
+        "holdout", max(N_PER_HOSPITAL // 2, EVAL_BATCH), SEED + 99, SPATIAL))
+    return _stack(train_samples), val_sets
+
+
+def _train(name, stylize, pool_i, pool_l, key):
+    from mvtb_tpu.models import UNet
+    from mvtb_tpu.train import (create_seg_state, reference_optimizer,
+                                train_chunked)
+
+    model = UNet(out_channels=1, dtype=jnp.bfloat16)
+    state = create_seg_state(jax.random.key(SEED), model,
+                             (1,) + SPATIAL + (1,),
+                             tx=reference_optimizer())
+    return train_chunked(
+        state, pool_i, pool_l, steps=STEPS, batch_size=BATCH, key=key,
+        stylize=stylize, chunk=CHUNK,
+        sample_rng=np.random.RandomState(SEED + 17),
+        log=lambda s: print(s, flush=True), name=name)
+
+
+def _evaluate(state, imgs, lbls):
+    from mvtb_tpu.train import EpochMetrics, seg_eval_step
+
+    metrics = EpochMetrics()
+    for i in range(0, imgs.shape[0], EVAL_BATCH):
+        scores = seg_eval_step(state, jnp.asarray(imgs[i:i + EVAL_BATCH]),
+                               jnp.asarray(lbls[i:i + EVAL_BATCH]))
+        metrics.update(np.asarray(scores))
+    return metrics.result()["mean"]
+
+
+def main() -> None:
+    from mvtb_tpu.data.tcga import generalization_gap
+    from mvtb_tpu.ops.fused import StylizeConfig
+
+    os.makedirs(OUTDIR, exist_ok=True)
+    t0 = time.time()
+    print(f"building hospital pools at {SPATIAL}", flush=True)
+    (tr_i, tr_l), val_sets = _make_pools()
+    for k, (vi, _) in val_sets.items():
+        assert vi.shape[0] % EVAL_BATCH == 0, (k, vi.shape)
+    print(f"pools ready in {time.time() - t0:.0f}s: train {tr_i.shape}, "
+          + ", ".join(f"{k} {v[0].shape[0]}" for k, v in val_sets.items()),
+          flush=True)
+    pool_i, pool_l = jnp.asarray(tr_i), jnp.asarray(tr_l)
+
+    sty = StylizeConfig(disk_r=DISK_R, disk_prob=1.0)
+    results, histories = {}, {}
+    key = jax.random.key(SEED + 1)
+    for name, train_sty in [("baseline", None), (f"gibbs{DISK_R}", sty)]:
+        key, sub = jax.random.split(key)
+        state, histories[name] = _train(name, train_sty, pool_i, pool_l, sub)
+        eval_dict = {}
+        for hospital, (vi, vl) in val_sets.items():
+            eval_dict[hospital] = _evaluate(state, vi, vl)
+            print(f"eval {name} on {hospital}: {eval_dict[hospital]:.4f}",
+                  flush=True)
+        gap = generalization_gap(eval_dict)
+        results[name] = {"eval_dict": eval_dict, "gap": gap}
+        print(f"[{name}] in-dist {gap['in_dist_mean']:.4f} holdout "
+              f"{gap['holdout']:.4f} gap {gap['gap']:.4f} "
+              f"(normalized {gap['normalized_gap']:.3f})", flush=True)
+
+    base_g = results["baseline"]["gap"]
+    styl_g = results[f"gibbs{DISK_R}"]["gap"]
+    effect = {
+        "baseline_gap": base_g["gap"],
+        "stylized_gap": styl_g["gap"],
+        "gap_shrunk": bool(styl_g["gap"] < base_g["gap"]),
+        "baseline_normalized_gap": base_g["normalized_gap"],
+        "stylized_normalized_gap": styl_g["normalized_gap"],
+    }
+    out = {"spatial": SPATIAL, "steps": STEPS, "batch": BATCH,
+           "n_per_hospital": N_PER_HOSPITAL, "disk_r": DISK_R, "seed": SEED,
+           "results": results, "effect": effect, "histories": histories,
+           "wall_s": round(time.time() - t0, 1)}
+    path = os.path.join(OUTDIR, "holdout_hospital.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(f"wrote {path}; gap {base_g['gap']:.4f} -> {styl_g['gap']:.4f} "
+          f"(shrunk: {effect['gap_shrunk']})")
+
+
+if __name__ == "__main__":
+    main()

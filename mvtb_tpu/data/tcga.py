@@ -125,21 +125,83 @@ def synthetic_hospital_samples(hospital: str, n: int, seed: int,
     return out
 
 
+# Hospital-specific acquisition-texture bands (units of max(shape)/2, the
+# disk_mask index-space convention — see synthetic._band_noise). Healthy
+# tissue is texture-rich in the *hospital's own* band; tumor is texture-
+# suppressed. On a 128-grid every band lies at index radius >= 0.22*64 ~ 14,
+# entirely outside the flagship r=12.5 Gibbs disk, so stylization erases
+# every hospital signature and forces the corruption-robust (domain-
+# invariant) offset cue — the mechanism behind the reference's
+# institutional-distribution experiments (``baseline_domain.py`` vs the
+# ``stylized_*_domain`` variants).
+_HOSPITAL_BANDS = {
+    "hospital_A": (0.22, 0.34),
+    "hospital_B": (0.32, 0.44),
+    "hospital_C": (0.42, 0.54),
+    "holdout": (0.58, 0.74),  # a scanner signature never seen in training
+}
+
+
+def textured_hospital_samples(hospital: str, n: int, seed: int,
+                              spatial: Tuple[int, ...] = (128, 128, 64)
+                              ) -> List[dict]:
+    """Whole-tumor samples whose fine-scale texture band is hospital-specific.
+
+    The label-correlated cue has two parts: (a) suppression of the
+    hospital's own texture band inside the tumor — strong but domain-
+    specific (the holdout hospital's band is elsewhere, so a model leaning
+    on it fails there), and (b) a small mean offset that survives low-pass
+    filtering — weak but domain-invariant. A clean-trained baseline prefers
+    (a) and pays a generalization gap on the held-out hospital; a
+    Gibbs-stylized model never sees (a) and generalizes flat.
+    """
+    from mvtb_tpu.data.synthetic import _band_noise, _box_smooth, _smooth_noise
+
+    band = _HOSPITAL_BANDS[hospital]
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        grids = np.ogrid[tuple(slice(0, s) for s in spatial)]
+        center = [rng.uniform(0.35, 0.65) * s for s in spatial]
+        radii = [rng.uniform(0.12, 0.22) * s for s in spatial]
+        q = sum(((g - c) / r) ** 2 for g, c, r in zip(grids, center, radii))
+        warp = _smooth_noise(rng, spatial, passes=6)
+        warp /= np.abs(warp).max() + 1e-6
+        q = q * (1.0 + 0.25 * warp)
+        wt = (q < 1.0).astype(np.float32)
+
+        amp = _box_smooth((1.0 - 0.85 * wt).astype(np.float32), 2)
+        offset = _box_smooth(0.5 * wt, 2)
+        anatomy = 0.6 * _band_noise(rng, spatial, 0.0, 0.12)
+        gain = 0.7 + 0.6 * rng.rand()
+        img = anatomy + amp * _band_noise(rng, spatial, *band) + gain * offset
+        img = (img - img.mean()) / (img.std() + 1e-6)
+        out.append({"image": img[None].astype(np.float32),
+                    "label": wt[None]})
+    return out
+
+
 def domain_loaders(batch_size: int = 2, n_per_hospital: int = 8, seed: int = 0,
-                   spatial: Tuple[int, ...] = (64, 64, 32)
-                   ) -> Tuple[Loader, Dict[str, Loader]]:
-    """(train loader over 3 hospitals, {name: val loader} incl. holdout)."""
+                   spatial: Tuple[int, ...] = (64, 64, 32),
+                   kind: str = "smooth") -> Tuple[Loader, Dict[str, Loader]]:
+    """(train loader over 3 hospitals, {name: val loader} incl. holdout).
+
+    ``kind="smooth"`` varies gain/offset/contrast per hospital (round-1
+    machinery check); ``kind="textured"`` varies the acquisition-texture
+    band (:func:`textured_hospital_samples`) so the stylization-shrinks-
+    the-gap claim is actually falsifiable.
+    """
+    gen = {"smooth": synthetic_hospital_samples,
+           "textured": textured_hospital_samples}[kind]
     train_samples: List[dict] = []
     val_loaders: Dict[str, Loader] = {}
     for i, hospital in enumerate(["hospital_A", "hospital_B", "hospital_C"]):
-        samples = synthetic_hospital_samples(hospital, n_per_hospital,
-                                             seed + i, spatial)
+        samples = gen(hospital, n_per_hospital, seed + i, spatial)
         train, val = partition_dataset(samples, (0.75, 0.25), seed=seed)
         train_samples += train
         val_loaders[hospital] = Loader(val, batch_size=batch_size)
     val_loaders["holdout"] = Loader(
-        synthetic_hospital_samples("holdout", max(n_per_hospital // 2, 2),
-                                   seed + 99, spatial),
+        gen("holdout", max(n_per_hospital // 2, 2), seed + 99, spatial),
         batch_size=batch_size)
     return Loader(train_samples, batch_size=batch_size, shuffle=True,
                   seed=seed), val_loaders

@@ -88,3 +88,71 @@ def test_volumes_differ_per_draw():
     b, lb = make_textured_volume(rng, 1, SPATIAL)
     assert np.abs(a - b).max() > 0.5
     assert not np.array_equal(la, lb)
+
+
+# ---------------------------------------------------------------------------
+# Textured hospital domains (institutional-distribution experiment)
+# ---------------------------------------------------------------------------
+
+def _band_energy(img, band, spatial):
+    k = np.fft.fftn(img)
+    grids = np.meshgrid(*[np.fft.fftfreq(n) * n for n in spatial],
+                        indexing="ij")
+    r = np.sqrt(sum(g * g for g in grids)) / (max(spatial) / 2.0)
+    sel = (r >= band[0]) & (r < band[1])
+    return (np.abs(k[sel]) ** 2).sum() / (np.abs(k) ** 2).sum()
+
+
+def test_hospital_signature_lives_in_its_own_band():
+    """Each hospital's texture energy concentrates in its own band, and the
+    holdout band is disjoint from every training band — the domain shift the
+    stylization is supposed to erase."""
+    from mvtb_tpu.data.tcga import _HOSPITAL_BANDS, textured_hospital_samples
+
+    spatial = (32, 32, 16)
+    bands = _HOSPITAL_BANDS
+    hi = max(b[1] for b in bands.values())
+    assert all(bands["holdout"][0] >= b[1] for k, b in bands.items()
+               if k != "holdout"), "holdout band overlaps a training band"
+    for hospital, band in bands.items():
+        s = textured_hospital_samples(hospital, 2, seed=3, spatial=spatial)[0]
+        img = s["image"][0]
+        own = _band_energy(img, band, spatial)
+        others = [_band_energy(img, b, spatial)
+                  for k, b in bands.items() if k != hospital]
+        assert own > 2.5 * max(others), (hospital, own, others)
+        assert s["label"].shape == (1,) + spatial
+        assert s["label"].max() == 1.0
+
+
+def test_disk_filter_erases_hospital_signature():
+    """After the (scaled) flagship disk low-pass, the hospital band carries
+    (next to) no energy — stylization removes the domain-specific cue."""
+    from mvtb_tpu.data.tcga import _HOSPITAL_BANDS, textured_hospital_samples
+
+    spatial = (32, 32, 16)
+    for hospital in ("hospital_A", "holdout"):
+        s = textured_hospital_samples(hospital, 1, seed=5, spatial=spatial)[0]
+        img = s["image"][0]
+        # r=12.5 on the 128 grid scales to 12.5 * (32/128) here
+        k = np.fft.fftshift(np.fft.fftn(img))
+        grids = np.ogrid[tuple(slice(0, n) for n in spatial)]
+        d2 = sum((g - n // 2) ** 2 for g, n in zip(grids, spatial))
+        filt = np.fft.ifftn(np.fft.ifftshift(k * (d2 < 3.125 ** 2))).real
+        band = _HOSPITAL_BANDS[hospital]
+        before = _band_energy(img, band, spatial)
+        after = _band_energy(filt, band, spatial)
+        assert after < 0.02 * before, (hospital, before, after)
+
+
+def test_textured_domain_loaders_protocol():
+    from mvtb_tpu.data.tcga import domain_loaders
+
+    train, vals = domain_loaders(batch_size=2, n_per_hospital=4, seed=0,
+                                 spatial=(16, 16, 8), kind="textured")
+    assert set(vals) == {"hospital_A", "hospital_B", "hospital_C", "holdout"}
+    batch = next(iter(train))
+    assert batch["image"].shape == (2, 1, 16, 16, 8)
+    assert batch["label"].shape == (2, 1, 16, 16, 8)
+    hold = next(iter(vals["holdout"]))
+    assert hold["image"].shape[1:] == (1, 16, 16, 8)
