@@ -16,7 +16,10 @@ outside the r=12.5 disk, so the gibbs12.5-stylized model never sees the
 hospital signatures and must learn the invariant cue.
 
 TPU-shaped: pools live in HBM, training runs as jitted ``fori_loop`` chunks
-(mvtb_tpu.train.train_chunked), evaluation is clean per-hospital Dice.
+(mvtb_tpu.train.train_chunked). Evaluation follows the reference protocol:
+each model is scored under its OWN val pipeline — the domain scripts put the
+disk mask in the val transform too (``gibbs15_domain.py:120-136``) — with a
+clean-input Dice kept as a diagnostic.
 
 Run (TPU): ``python examples/holdout_hospital.py``
 Env knobs: SPATIAL, STEPS, BATCH, CHUNK, N_PER_HOSPITAL, DISK_R, OUTDIR, SEED.
@@ -95,13 +98,22 @@ def _train(name, stylize, pool_i, pool_l, key):
         log=lambda s: print(s, flush=True), name=name)
 
 
-def _evaluate(state, imgs, lbls):
+def _evaluate(state, imgs, lbls, cfg=None):
+    """Dice under a model's OWN val pipeline. The reference's domain scripts
+    put the disk mask in the val transform as well as the train transform
+    (``gibbs15_domain.py:120-136``, ``RandFourierDiskMaskd(..., prob=1.)`` in
+    both), so the stylized model is evaluated on stylized inputs — round-2
+    lesson: evaluating it on clean data is off-protocol AND off-manifold
+    (texture energy it never saw), and sinks its Dice to ~0.2."""
+    from mvtb_tpu.ops.fused import stylize_batch
     from mvtb_tpu.train import EpochMetrics, seg_eval_step
 
     metrics = EpochMetrics()
     for i in range(0, imgs.shape[0], EVAL_BATCH):
-        scores = seg_eval_step(state, jnp.asarray(imgs[i:i + EVAL_BATCH]),
-                               jnp.asarray(lbls[i:i + EVAL_BATCH]))
+        xb = jnp.asarray(imgs[i:i + EVAL_BATCH])
+        if cfg is not None:  # deterministic for a prob=1 fixed-r disk mask
+            xb = stylize_batch(xb, jax.random.key(0), cfg)
+        scores = seg_eval_step(state, xb, jnp.asarray(lbls[i:i + EVAL_BATCH]))
         metrics.update(np.asarray(scores))
     return metrics.result()["mean"]
 
@@ -127,13 +139,18 @@ def main() -> None:
     for name, train_sty in [("baseline", None), (f"gibbs{DISK_R}", sty)]:
         key, sub = jax.random.split(key)
         state, histories[name] = _train(name, train_sty, pool_i, pool_l, sub)
-        eval_dict = {}
+        eval_dict, clean_dict = {}, {}
         for hospital, (vi, vl) in val_sets.items():
-            eval_dict[hospital] = _evaluate(state, vi, vl)
-            print(f"eval {name} on {hospital}: {eval_dict[hospital]:.4f}",
-                  flush=True)
+            # protocol eval: the model's own val pipeline (disk mask included
+            # for the stylized model, as in the reference's val_transform)
+            eval_dict[hospital] = _evaluate(state, vi, vl, cfg=train_sty)
+            clean_dict[hospital] = (eval_dict[hospital] if train_sty is None
+                                    else _evaluate(state, vi, vl))
+            print(f"eval {name} on {hospital}: {eval_dict[hospital]:.4f} "
+                  f"(clean diagnostic {clean_dict[hospital]:.4f})", flush=True)
         gap = generalization_gap(eval_dict)
-        results[name] = {"eval_dict": eval_dict, "gap": gap}
+        results[name] = {"eval_dict": eval_dict, "clean_eval": clean_dict,
+                         "gap": gap}
         print(f"[{name}] in-dist {gap['in_dist_mean']:.4f} holdout "
               f"{gap['holdout']:.4f} gap {gap['gap']:.4f} "
               f"(normalized {gap['normalized_gap']:.3f})", flush=True)

@@ -64,6 +64,41 @@ def brats_val_pipeline(roi_size: Sequence[int] = (128, 128, 64),
     ])
 
 
+class StylizedLoader:
+    """Wrap a loader so every image batch passes through a stylization config.
+
+    The device-side analogue of putting the corruption transform in the VAL
+    pipeline — which the reference's domain scripts do
+    (``300_instutional_distribution/gibbs15_domain.py:120-136``:
+    ``RandFourierDiskMaskd(..., prob=1.)`` appears in BOTH ``train_transform``
+    and ``val_transform``), so a stylized model is evaluated under its own
+    filtering. Images stay channel-first numpy at the boundary; the
+    stylization itself runs jitted on device via
+    :func:`mvtb_tpu.ops.fused.stylize_batch` with a per-batch key split from
+    ``seed`` (deterministic for a fixed-parameter prob=1 config).
+    """
+
+    def __init__(self, loader, stylize, seed: int = 0):
+        self.loader = loader
+        self.stylize = stylize
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def __iter__(self) -> Iterator[dict]:
+        import jax
+        import jax.numpy as jnp
+
+        from mvtb_tpu.ops.fused import stylize_batch
+
+        key = jax.random.key(self.seed)
+        for batch in self.loader:
+            key, sub = jax.random.split(key)
+            img = stylize_batch(jnp.asarray(batch["image"]), sub, self.stylize)
+            yield {**batch, "image": np.asarray(img)}
+
+
 class Loader:
     """Minimal batching loader over an indexable dataset of sample dicts.
 

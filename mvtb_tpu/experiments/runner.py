@@ -352,6 +352,15 @@ def run_domain_experiment(config: Union[str, ExperimentConfig], *,
     if cfg.in_dist_val:
         # …_GD_inDist protocol: validate on the training hospitals only
         val_loaders = {k: v for k, v in val_loaders.items() if k != "holdout"}
+    if cfg.val_stylize is not None:
+        # the reference's domain val_transform includes the stylization
+        # (gibbs15_domain.py:120-136), so each model is scored under its own
+        # filtering — evaluating a stylized model on clean inputs is both
+        # off-protocol and off-manifold (round-2 lesson: it sinks Dice ~4x)
+        from mvtb_tpu.data.pipeline import StylizedLoader
+
+        val_loaders = {k: StylizedLoader(v, cfg.val_stylize, seed)
+                       for k, v in val_loaders.items()}
     for name, loader in val_loaders.items():
         ev.add_eval(name, loader)
     if cfg.in_dist_val:

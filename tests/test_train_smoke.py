@@ -107,6 +107,49 @@ def test_domain_experiment_smoke(tmp_path):
     assert (tmp_path / "domain_smoke_gap.json").exists()
 
 
+def test_stylized_loader_applies_config():
+    from mvtb_tpu.data import Loader, StylizedLoader
+    from mvtb_tpu.ops import StylizeConfig
+
+    rng = np.random.RandomState(0)
+    ds = [{"image": rng.randn(1, 16, 16, 8).astype(np.float32),
+           "label": np.ones((1, 16, 16, 8), np.float32)} for _ in range(4)]
+    base = Loader(ds, batch_size=2)
+    sty = StylizedLoader(base, StylizeConfig(disk_r=3.0, disk_prob=1.0), seed=0)
+    assert len(sty) == len(base)
+    batches_sty = list(sty)
+    batches_raw = list(base)
+    assert len(batches_sty) == 2
+    for bs, br in zip(batches_sty, batches_raw):
+        assert bs["image"].shape == br["image"].shape
+        assert not np.allclose(bs["image"], br["image"])  # filter applied
+        np.testing.assert_array_equal(bs["label"], br["label"])
+    # prob=1 fixed-r disk filtering is deterministic given the seed
+    again = list(StylizedLoader(base, StylizeConfig(disk_r=3.0, disk_prob=1.0),
+                                seed=0))
+    np.testing.assert_allclose(again[0]["image"], batches_sty[0]["image"])
+
+
+def test_domain_experiment_stylized_val_protocol(tmp_path):
+    """Stylized domain configs are evaluated under their own val filtering
+    (the reference puts the disk mask in val_transform too —
+    gibbs15_domain.py:120-136)."""
+    from mvtb_tpu.experiments import run_domain_experiment
+    from mvtb_tpu.ops import StylizeConfig
+
+    sty = StylizeConfig(disk_r=3.0, disk_prob=1.0)
+    cfg = ExperimentConfig(name="domain_sty_smoke", in_channels=1,
+                           out_channels=1, spatial=(16, 16, 8),
+                           channels=(4, 8), strides=(2,), batch_size=2,
+                           train_stylize=sty, val_stylize=sty)
+    out = run_domain_experiment(cfg, epochs=1, steps_per_epoch=2,
+                                n_per_hospital=4, workdir=str(tmp_path),
+                                verbose=False)
+    assert set(out["eval_dict"]) == {"hospital_A", "hospital_B", "hospital_C",
+                                     "holdout"}
+    assert np.isfinite(out["gap"]["normalized_gap"])
+
+
 def test_gan_smoke_with_workdir_saves_samples(tmp_path):
     cfg = ExperimentConfig(name="dcgan_grid_smoke", kind="dcgan",
                            in_channels=1, spatial=(128, 128), batch_size=2,
