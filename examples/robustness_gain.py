@@ -19,10 +19,18 @@ per-step host dispatch over the remote-TPU tunnel costs ~0.5 s/step), and
 evaluation corrupts with a *traced* disk radius so the whole radius sweep
 shares one compile.
 
+All four reference corruption families are covered (FAMILY env knob):
+``disk`` (Gibbs ringing, ``20_Gibbs_filters``), ``planes``
+(``30_plane_waves_filters``), ``wrap`` (aliasing, ``50_wraparound``:
+baseline 0.1197 on full wrap vs wrap0-trained 0.6212), and ``sap``
+(``40_salt_and_pepper``: baseline 0.4403 on sap-0.35 vs sap35 0.7125).
+
 Run (TPU): ``python examples/robustness_gain.py``
-Env knobs: SPATIAL (e.g. "128,128,64"), STEPS, BATCH, CHUNK, DISK_R, POOL,
-VAL_POOL (multiple of BATCH), OUTDIR, EVAL_RADII (comma list), SEED.
-Writes ``<OUTDIR>/robustness_gain.json`` + learning curves.
+Env knobs: SPATIAL (e.g. "128,128,64"), STEPS, BATCH, CHUNK, FAMILY,
+DISK_R, PLANE_I, WRAP_ALPHA, SAP_P, POOL, VAL_POOL (multiple of BATCH),
+OUTDIR, EVAL_RADII / EVAL_INTENSITIES / EVAL_ALPHAS / EVAL_PS (comma
+lists), SEED. Writes ``<OUTDIR>/robustness_gain[_<family>].json`` +
+learning curves.
 """
 
 from __future__ import annotations
@@ -47,9 +55,11 @@ SPATIAL = tuple(int(v) for v in os.environ.get("SPATIAL", "128,128,64").split(",
 STEPS = int(os.environ.get("STEPS", "4000"))
 BATCH = int(os.environ.get("BATCH", "8"))
 CHUNK = int(os.environ.get("CHUNK", "100"))
-FAMILY = os.environ.get("FAMILY", "disk")  # disk | planes
+FAMILY = os.environ.get("FAMILY", "disk")  # disk | planes | wrap | sap
 DISK_R = float(os.environ.get("DISK_R", "12.5"))
 PLANE_I = float(os.environ.get("PLANE_I", "14"))
+WRAP_ALPHA = float(os.environ.get("WRAP_ALPHA", "0"))
+SAP_P = float(os.environ.get("SAP_P", "0.35"))
 POOL = int(os.environ.get("POOL", "64"))
 VAL_POOL = int(os.environ.get("VAL_POOL", "24"))
 OUTDIR = os.environ.get("OUTDIR", "reports/robustness_gain")
@@ -57,6 +67,10 @@ EVAL_RADII = [float(v) for v in os.environ.get(
     "EVAL_RADII", "9,12.5,15,20,25").split(",") if v]
 EVAL_INTENSITIES = [float(v) for v in os.environ.get(
     "EVAL_INTENSITIES", "12,14,16").split(",") if v]
+EVAL_ALPHAS = [float(v) for v in os.environ.get(
+    "EVAL_ALPHAS", "0,0.25,0.5,0.75").split(",") if v]
+EVAL_PS = [float(v) for v in os.environ.get(
+    "EVAL_PS", "0.05,0.15,0.25,0.35").split(",") if v]
 SEED = int(os.environ.get("SEED", "0"))
 
 
@@ -98,9 +112,28 @@ def _corrupt_disk(x, r):
                          axes=axes).real.astype(x.dtype)
 
 
+@jax.jit
+def _corrupt_wrap(x, alpha):
+    """Odd-k-line scaling with a TRACED alpha (one compile for the sweep)."""
+    from mvtb_tpu.ops.corruptions import wrap_artifact
+
+    return wrap_artifact(x, alpha)
+
+
+@jax.jit
+def _corrupt_sap(x, p, key):
+    """Per-sample salt & pepper with a TRACED p (extrema are per-volume as
+    in the reference transform, hence the vmap over the batch axis)."""
+    from mvtb_tpu.ops.corruptions import salt_and_pepper
+
+    u = jax.random.uniform(key, x.shape, x.dtype)
+    return jax.vmap(lambda v, uu: salt_and_pepper(v, p, u=uu))(x, u)
+
+
 def _evaluate(state, va_i, va_l, corrupt):
-    """``corrupt``: None, a disk radius (traced — shares one compile), or a
-    StylizeConfig applied via stylize_batch (plane-wave family)."""
+    """``corrupt``: None, a disk radius (traced — shares one compile), a
+    ("wrap", alpha) / ("sap", p) tag (traced parameter), or a StylizeConfig
+    applied via stylize_batch (plane-wave family)."""
     from mvtb_tpu.ops.fused import StylizeConfig, stylize_batch
     from mvtb_tpu.train import EpochMetrics, seg_eval_step
 
@@ -111,6 +144,13 @@ def _evaluate(state, va_i, va_l, corrupt):
         if isinstance(corrupt, StylizeConfig):
             key, sub = jax.random.split(key)
             img = stylize_batch(img, sub, corrupt)
+        elif isinstance(corrupt, tuple):
+            kind, param = corrupt
+            if kind == "wrap":
+                img = _corrupt_wrap(img, jnp.float32(param))
+            else:
+                key, sub = jax.random.split(key)
+                img = _corrupt_sap(img, jnp.float32(param), sub)
         elif corrupt is not None:
             img = _corrupt_disk(img, jnp.float32(corrupt))
         scores = seg_eval_step(state, img, va_l[i:i + BATCH])
@@ -152,6 +192,24 @@ def main() -> None:
                                         plane_prob=1.0)
             for i in EVAL_INTENSITIES})
         diag = f"planes{PLANE_I}"
+    elif FAMILY == "wrap":
+        # 50_wraparound: alpha scales every odd k-line; 0 = full aliasing
+        sty = StylizeConfig(wrap_alpha=WRAP_ALPHA, wrap_prob=1.0)
+        styl_name = f"wrap{WRAP_ALPHA}"
+        eval_sets = {"clean": None}
+        eval_sets.update({f"wrap{a}": ("wrap", a) for a in EVAL_ALPHAS})
+        diag = f"wrap{WRAP_ALPHA}"
+        if diag not in eval_sets:
+            eval_sets[diag] = ("wrap", WRAP_ALPHA)
+    elif FAMILY == "sap":
+        # 40_salt_and_pepper: impulse noise probability p
+        sty = StylizeConfig(sap_p=SAP_P, sap_prob=1.0)
+        styl_name = f"sap{SAP_P}"
+        eval_sets = {"clean": None}
+        eval_sets.update({f"sap{p}": ("sap", p) for p in EVAL_PS})
+        diag = f"sap{SAP_P}"
+        if diag not in eval_sets:
+            eval_sets[diag] = ("sap", SAP_P)
     else:
         raise ValueError(f"unknown FAMILY {FAMILY}")
 
@@ -182,19 +240,34 @@ def main() -> None:
         "robustness_gain": styl_corr - base_corr,
         "effect_reproduced": bool(styl_corr > base_corr
                                   and (base_clean - base_corr) > 0.05),
-        "reference_shape": ({
-            "baseline_clean": 0.7433, "baseline_on_gibbs9": 0.6101,
-            "stylized12p5_on_gibbs12p5": 0.7194,
-            "baseline_on_gibbs12p5": 0.6777,
-        } if FAMILY == "disk" else {
-            # 20_results/30_planes_waves pickles (BASELINE.md): plane waves
-            # are catastrophic for the baseline, recoverable by stylization
-            "baseline_clean": 0.7433, "baseline_on_planes17": 0.0180,
-            "planes17_on_planes17": 0.7113,
-        }),
+        # the reference's pickled Dice tables for each family (BASELINE.md)
+        "reference_shape": {
+            "disk": {
+                "baseline_clean": 0.7433, "baseline_on_gibbs9": 0.6101,
+                "stylized12p5_on_gibbs12p5": 0.7194,
+                "baseline_on_gibbs12p5": 0.6777,
+            },
+            "planes": {
+                # plane waves are catastrophic for the baseline,
+                # recoverable by stylization (20_results/30_planes_waves)
+                "baseline_clean": 0.7433, "baseline_on_planes17": 0.0180,
+                "planes17_on_planes17": 0.7113,
+            },
+            "wrap": {
+                # 20_results/80_common_evaluations/50_evaluations_on_wrap
+                "baseline_clean": 0.7433, "baseline_on_wrap0": 0.1197,
+                "wrap0_on_wrap0": 0.6212,
+            },
+            "sap": {
+                # 20_results/40_sap
+                "baseline_clean": 0.7433, "baseline_on_sap0p35": 0.4403,
+                "sap35_on_sap0p35": 0.7125,
+            },
+        }[FAMILY],
     }
     out = {"spatial": SPATIAL, "steps": STEPS, "batch": BATCH,
            "family": FAMILY, "disk_r": DISK_R, "plane_i": PLANE_I,
+           "wrap_alpha": WRAP_ALPHA, "sap_p": SAP_P,
            "pool": POOL, "val_pool": VAL_POOL,
            "seed": SEED, "table": table, "effect": effect,
            "histories": histories}
