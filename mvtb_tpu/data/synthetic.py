@@ -73,7 +73,8 @@ def _band_noise(rng: np.random.RandomState, shape,
                         + [np.fft.rfftfreq(shape[-1]) * shape[-1]],
                         indexing="ij")
     r = np.sqrt(sum(g * g for g in grids)) / (max(shape) / 2.0)
-    y = np.fft.irfftn(k * ((r >= lo) & (r < hi)), s=shape)
+    y = np.fft.irfftn(k * ((r >= lo) & (r < hi)), s=shape,
+                      axes=tuple(range(len(shape))))
     return (y / (y.std() + 1e-6)).astype(np.float32)
 
 

@@ -8,9 +8,13 @@ per voxel (635 for BraTS vs ~log-scale for FFT), but at MXU throughput this
 wins by a wide margin for n up to a few thousand.
 
 ``dft_nd(x, axes)`` / ``idft_nd`` are drop-in (unshifted) replacements for
-``jnp.fft.fftn`` / ``ifftn`` over trailing axes. Complex arithmetic is
-expressed as real matmuls so the MXU sees plain f32 GEMMs (bf16x3 passes via
-``precision=HIGHEST`` keep ~1e-6 relative accuracy).
+``jnp.fft.fftn`` / ``ifftn`` over trailing axes; ``rdft_nd`` / ``irdft_nd_real``
+mirror ``rfftn`` / ``irfftn`` on the half spectrum (0.44x the MACs at BraTS
+size). Complex arithmetic is expressed as real matmuls so the MXU sees plain
+GEMMs. Every function takes a ``precision``: the default ``HIGHEST`` keeps
+~1e-6 relative accuracy; ``DEFAULT`` drops to single-pass bf16 inputs with
+f32 accumulation (~1e-3 relative — the ``StylizeConfig.fft_backend="dft_fast"``
+augmentation mode; measured numbers in BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -45,8 +49,25 @@ def _dft_matrix_np(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
     return cos.astype(np.float32), sin.astype(np.float32)
 
 
-def _axis_dft(re: Array, im: Optional[Array], axis: int, inverse: bool
-              ) -> Tuple[Array, Array]:
+def _mm(a: Array, b: Array, precision) -> Array:
+    """Contract ``a``'s last axis with ``b``'s first on the MXU.
+
+    ``precision`` selects the TPU matmul pass structure: ``HIGHEST`` is
+    f32-accurate (the parity default), ``DEFAULT`` is a single bf16 pass —
+    ~8x the MXU throughput at ~1e-3 relative error (measured; see
+    BENCHMARKS.md). Accumulation is always f32.
+    """
+    if precision in (jax.lax.Precision.DEFAULT, "default"):
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32)
+
+
+def _axis_dft(re: Array, im: Optional[Array], axis: int, inverse: bool,
+              precision=jax.lax.Precision.HIGHEST) -> Tuple[Array, Array]:
     """Apply a 1-axis DFT via two (or four) real matmuls on the MXU."""
     n = re.shape[axis]
     cos, sin = _dft_matrix_np(n, inverse)
@@ -56,10 +77,7 @@ def _axis_dft(re: Array, im: Optional[Array], axis: int, inverse: bool
     re_m = jnp.moveaxis(re, axis, -1)
 
     def mm(a, b):
-        return jax.lax.dot_general(
-            a, b, (((a.ndim - 1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+        return _mm(a, b, precision)
 
     if im is None:  # real input: (re + 0i) @ (cos + i sin)
         out_re = mm(re_m, cos)
@@ -71,7 +89,8 @@ def _axis_dft(re: Array, im: Optional[Array], axis: int, inverse: bool
     return jnp.moveaxis(out_re, -1, axis), jnp.moveaxis(out_im, -1, axis)
 
 
-def dft_nd(x: Array, axes: Sequence[int]) -> Array:
+def dft_nd(x: Array, axes: Sequence[int],
+           precision=jax.lax.Precision.HIGHEST) -> Array:
     """Forward n-D DFT over ``axes`` (unshifted), matmul-backed.
 
     Accepts real or complex input; returns complex64 — same contract as
@@ -83,11 +102,12 @@ def dft_nd(x: Array, axes: Sequence[int]) -> Array:
     else:
         re, im = x.astype(jnp.float32), None
     for axis in axes:
-        re, im = _axis_dft(re, im, axis, inverse=False)
+        re, im = _axis_dft(re, im, axis, inverse=False, precision=precision)
     return jax.lax.complex(re, im)
 
 
-def idft_nd(x: Array, axes: Sequence[int]) -> Array:
+def idft_nd(x: Array, axes: Sequence[int],
+            precision=jax.lax.Precision.HIGHEST) -> Array:
     """Inverse n-D DFT over ``axes`` (norm='backward'), matmul-backed."""
     axes = [a % x.ndim for a in axes]
     if jnp.iscomplexobj(x):
@@ -95,11 +115,12 @@ def idft_nd(x: Array, axes: Sequence[int]) -> Array:
     else:
         re, im = x.astype(jnp.float32), None
     for axis in axes:
-        re, im = _axis_dft(re, im, axis, inverse=True)
+        re, im = _axis_dft(re, im, axis, inverse=True, precision=precision)
     return jax.lax.complex(re, im)
 
 
-def idft_nd_real(x: Array, axes: Sequence[int]) -> Array:
+def idft_nd_real(x: Array, axes: Sequence[int],
+                 precision=jax.lax.Precision.HIGHEST) -> Array:
     """Inverse n-D DFT keeping only the real part.
 
     Skips computing the imaginary output of the *last* axis transform
@@ -111,7 +132,7 @@ def idft_nd_real(x: Array, axes: Sequence[int]) -> Array:
     else:
         re, im = x.astype(jnp.float32), None
     for axis in axes[:-1]:
-        re, im = _axis_dft(re, im, axis, inverse=True)
+        re, im = _axis_dft(re, im, axis, inverse=True, precision=precision)
 
     axis = axes[-1]
     n = re.shape[axis]
@@ -120,17 +141,91 @@ def idft_nd_real(x: Array, axes: Sequence[int]) -> Array:
     sin = jnp.asarray(sin)
     re_m = jnp.moveaxis(re, axis, -1)
 
-    def mm(a, b):
-        return jax.lax.dot_general(
-            a, b, (((a.ndim - 1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-
-    out = mm(re_m, cos)
+    out = _mm(re_m, cos, precision)
     if im is not None:
         im_m = jnp.moveaxis(im, axis, -1)
-        out = out - mm(im_m, sin)
+        out = out - _mm(im_m, sin, precision)
     return jnp.moveaxis(out, -1, axis)
+
+
+@lru_cache(maxsize=64)
+def _half_dft_matrix_np(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) of the forward half-spectrum DFT matrix, shape (n, n//2+1).
+
+    ``K[k] = sum_j x[j] exp(-2i pi j k / n)`` for ``k in [0, n//2]`` — the
+    rfft contract on the last axis.
+    """
+    h = n // 2 + 1
+    jk = np.outer(np.arange(n, dtype=np.float64), np.arange(h, dtype=np.float64))
+    theta = 2.0 * np.pi * (jk % n) / n
+    return np.cos(theta).astype(np.float32), (-np.sin(theta)).astype(np.float32)
+
+
+@lru_cache(maxsize=64)
+def _half_idft_matrix_np(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(cosT, sinT) of the real-output inverse half-spectrum DFT, (n//2+1, n).
+
+    For Hermitian completion ``K`` of the half spectrum ``H``:
+    ``y[j] = (1/n) sum_k K[k] e^{+2i pi jk/n}
+           = sum_{k<h} (c_k/n) (H_re[k] cos - H_im[k] sin)`` with pair weight
+    ``c_k = 2`` except on the self-mirrored bins (k=0 and, for even n, n/2).
+    The ``c_k/n`` factor is folded into the matrices.
+    """
+    h = n // 2 + 1
+    kj = np.outer(np.arange(h, dtype=np.float64), np.arange(n, dtype=np.float64))
+    theta = 2.0 * np.pi * (kj % n) / n
+    c = np.full((h, 1), 2.0)
+    c[0] = 1.0
+    if n % 2 == 0:
+        c[-1] = 1.0
+    c /= n
+    return ((np.cos(theta) * c).astype(np.float32),
+            (np.sin(theta) * c).astype(np.float32))
+
+
+def rdft_nd(x: Array, axes: Sequence[int],
+            precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Real-input n-D DFT producing the half spectrum on the LAST axis of
+    ``axes`` — the ``jnp.fft.rfftn(x, axes=axes)`` contract, matmul-backed.
+
+    The last-axis transform is a real (2-matmul) contraction against the
+    (n, n//2+1) half matrix; the remaining axes are full complex DFTs over
+    the half-size grid — 0.44x the MACs of the full complex transform at
+    BraTS size.
+    """
+    axes = [a % x.ndim for a in axes]
+    last = axes[-1]
+    n = x.shape[last]
+    cos, sin = _half_dft_matrix_np(n)
+    x_m = jnp.moveaxis(x.astype(jnp.float32), last, -1)
+    re = jnp.moveaxis(_mm(x_m, jnp.asarray(cos), precision), -1, last)
+    im = jnp.moveaxis(_mm(x_m, jnp.asarray(sin), precision), -1, last)
+    for axis in axes[:-1]:
+        re, im = _axis_dft(re, im, axis, inverse=False, precision=precision)
+    return jax.lax.complex(re, im)
+
+
+def irdft_nd_real(x: Array, s: Sequence[int], axes: Sequence[int],
+                  precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Inverse of :func:`rdft_nd`: Hermitian half spectrum -> real volume —
+    the ``jnp.fft.irfftn(x, s=s, axes=axes)`` contract, matmul-backed.
+
+    Full complex inverse DFTs on the leading axes, then one 2-matmul
+    real-output contraction against the (n//2+1, n) completion matrix (the
+    conjugate-pair weight and 1/n are folded into the matrix).
+    """
+    axes = [a % x.ndim for a in axes]
+    re, im = x.real, x.imag
+    for axis in axes[:-1]:
+        re, im = _axis_dft(re, im, axis, inverse=True, precision=precision)
+    last = axes[-1]
+    n = int(s[-1])
+    cosT, sinT = _half_idft_matrix_np(n)
+    re_m = jnp.moveaxis(re, last, -1)
+    im_m = jnp.moveaxis(im, last, -1)
+    out = (_mm(re_m, jnp.asarray(cosT), precision)
+           - _mm(im_m, jnp.asarray(sinT), precision))
+    return jnp.moveaxis(out, -1, last)
 
 
 def use_matmul_dft(spatial: Sequence[int]) -> bool:

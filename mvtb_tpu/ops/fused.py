@@ -88,6 +88,12 @@ class StylizeConfig:
     # Image-domain salt & pepper
     sap_p: Optional[ParamSpec] = None
     sap_prob: float = 1.0
+    # Fourier backend: "xla" (jnp.fft, mixed-radix on the VPU), "dft"
+    # (matmul-DFT on the MXU at Precision.HIGHEST — f32-accurate), or
+    # "dft_fast" (single-pass bf16 matmuls, f32 accumulation — measured
+    # ~1e-3 relative error on the stylized output; see BENCHMARKS.md for
+    # the throughput trade at BraTS size).
+    fft_backend: str = "xla"
 
     @property
     def any_enabled(self) -> bool:
@@ -240,16 +246,30 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
     axes = tuple(range(-nd, 0))
     ks = stage_keys(key, cfg)
 
+    if cfg.fft_backend == "xla":
+        fwd_r, inv_r = jnp.fft.rfftn, jnp.fft.irfftn
+        fwd_c = jnp.fft.fftn
+        inv_c_real = lambda k, axes: jnp.fft.ifftn(k, axes=axes).real
+    else:
+        from mvtb_tpu.ops import dft as _dft
+
+        prec = (jax.lax.Precision.DEFAULT if cfg.fft_backend == "dft_fast"
+                else jax.lax.Precision.HIGHEST)
+        fwd_r = partial(_dft.rdft_nd, precision=prec)
+        inv_r = partial(_dft.irdft_nd_real, precision=prec)
+        fwd_c = partial(_dft.dft_nd, precision=prec)
+        inv_c_real = partial(_dft.idft_nd_real, precision=prec)
+
     out = x
     if cfg.kspace_needed:
         # rfft fast path: mask-only configs with mod-n-symmetric weights run
         # on the half spectrum — half the FFT flops, half the multiply/HBM
         use_rfft = _rfft_eligible(cfg, spatial)
         if use_rfft:
-            k = jnp.fft.rfftn(x, axes=axes)
+            k = fwd_r(x, axes=axes)
             grid = spatial[:-1] + (spatial[-1] // 2 + 1,)
         else:
-            k = jnp.fft.fftn(x, axes=axes)  # RAW coordinates — no shift rolls
+            k = fwd_c(x, axes=axes)  # RAW coordinates — no shift rolls
             grid = spatial
 
         # ---- radial masks: generated on the fly, fused into the multiply ----
@@ -437,9 +457,9 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 k = point_update(k, raw, mag, jnp.full((C,), g))
 
         if use_rfft:
-            out = jnp.fft.irfftn(k, s=spatial, axes=axes).astype(x.dtype)
+            out = inv_r(k, s=spatial, axes=axes).astype(x.dtype)
         else:
-            out = jnp.fft.ifftn(k, axes=axes).real.astype(x.dtype)
+            out = inv_c_real(k, axes=axes).astype(x.dtype)
 
     # ---- image-domain salt & pepper ----
     if cfg.sap_p is not None:

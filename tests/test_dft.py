@@ -47,3 +47,51 @@ def test_complex_input_forward():
 def test_use_matmul_dft_bound():
     assert dft.use_matmul_dft((240, 240, 155))
     assert not dft.use_matmul_dft((8192, 64))
+
+
+@pytest.mark.parametrize("shape", [(6, 8, 10), (5, 7, 9), (4, 6, 7)])
+def test_rdft_matches_rfftn(shape):
+    x = np.random.RandomState(4).randn(2, *shape).astype(np.float32)
+    axes = (-3, -2, -1)
+    want = np.asarray(jnp.fft.rfftn(jnp.asarray(x), axes=axes))
+    got = np.asarray(dft.rdft_nd(jnp.asarray(x), axes))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(6, 8, 10), (5, 7, 9)])
+def test_irdft_matches_irfftn(shape):
+    x = np.random.RandomState(5).randn(2, *shape).astype(np.float32)
+    axes = (-3, -2, -1)
+    k = jnp.fft.rfftn(jnp.asarray(x), axes=axes)
+    # perturb so the half spectrum is a generic Hermitian-representable input
+    k = k * (1.0 + 0.1j)
+    want = np.asarray(jnp.fft.irfftn(k, s=shape, axes=axes))
+    got = np.asarray(dft.irdft_nd_real(k, shape, axes))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=1e-4)
+
+
+def test_fused_backend_dispatch():
+    """StylizeConfig(fft_backend=...) reproduces the XLA-path output —
+    f32-accurate for "dft", ~1e-3 relative for single-pass bf16 "dft_fast"
+    (both the rfft-eligible and the complex (zero-fill) program)."""
+    import jax
+
+    from mvtb_tpu.ops.fused import StylizeConfig, stylize_kspace
+
+    x = jnp.asarray(np.random.RandomState(6).randn(3, 16, 18, 15)
+                    .astype(np.float32))
+    key = jax.random.key(7)
+    half = dict(disk_r=(4.0, 8.0), wrap_alpha=0.5, spike=True,
+                spike_range=(6.0, 7.0), plane_axes=(5.0, 5.0, 4.0),
+                plane_intensity=6.0, sap_p=0.05)
+    full = dict(disk_r=6.0, zf_p=0.1, spike=True, spike_range=(6.0, 7.0))
+    for base in (half, full):
+        ref = stylize_kspace(x, key, StylizeConfig(**base))
+        scale = float(jnp.abs(ref).max())
+        acc = stylize_kspace(x, key, StylizeConfig(**base, fft_backend="dft"))
+        assert float(jnp.abs(ref - acc).max()) < 1e-5 * scale
+        fast = stylize_kspace(x, key,
+                              StylizeConfig(**base, fft_backend="dft_fast"))
+        assert float(jnp.abs(ref - fast).max()) < 2e-2 * scale
