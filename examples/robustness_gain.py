@@ -19,11 +19,15 @@ per-step host dispatch over the remote-TPU tunnel costs ~0.5 s/step), and
 evaluation corrupts with a *traced* disk radius so the whole radius sweep
 shares one compile.
 
-All four reference corruption families are covered (FAMILY env knob):
+All reference corruption families are covered (FAMILY env knob):
 ``disk`` (Gibbs ringing, ``20_Gibbs_filters``), ``planes``
 (``30_plane_waves_filters``), ``wrap`` (aliasing, ``50_wraparound``:
-baseline 0.1197 on full wrap vs wrap0-trained 0.6212), and ``sap``
-(``40_salt_and_pepper``: baseline 0.4403 on sap-0.35 vs sap35 0.7125).
+baseline 0.1197 on full wrap vs wrap0-trained 0.6212), ``sap``
+(``40_salt_and_pepper``: baseline 0.4403 on sap-0.35 vs sap35 0.7125), and
+``combo`` — the stacked Gibbs->planes->wrap->sap pipeline of the
+``127_gibbs_spikes_wraparound_sap`` scripts
+(``stylized_gibbs12p5_spikes15_wrap0p5_sap0p05_FLAIR.py:138-141``),
+evaluated on the stack itself AND on each individual corruption.
 
 Run (TPU): ``python examples/robustness_gain.py``
 Env knobs: SPATIAL (e.g. "128,128,64"), STEPS, BATCH, CHUNK, FAMILY,
@@ -55,7 +59,7 @@ SPATIAL = tuple(int(v) for v in os.environ.get("SPATIAL", "128,128,64").split(",
 STEPS = int(os.environ.get("STEPS", "4000"))
 BATCH = int(os.environ.get("BATCH", "8"))
 CHUNK = int(os.environ.get("CHUNK", "100"))
-FAMILY = os.environ.get("FAMILY", "disk")  # disk | planes | wrap | sap
+FAMILY = os.environ.get("FAMILY", "disk")  # disk | planes | wrap | sap | combo
 DISK_R = float(os.environ.get("DISK_R", "12.5"))
 PLANE_I = float(os.environ.get("PLANE_I", "14"))
 WRAP_ALPHA = float(os.environ.get("WRAP_ALPHA", "0"))
@@ -210,6 +214,28 @@ def main() -> None:
         diag = f"sap{SAP_P}"
         if diag not in eval_sets:
             eval_sets[diag] = ("sap", SAP_P)
+    elif FAMILY == "combo":
+        # 127_gibbs_spikes_wraparound_sap: the full stacked pipeline
+        # (Gibbs r=12.5 -> plane write I=15 on the (55,55,30) shell ->
+        # wrap alpha=0.5 -> sap p=0.05) applied in the reference's order,
+        # fused into one k-space round trip. The registry's
+        # gibbs12p5_spikes15_wrap0p5_sap0p05_FLAIR config, 4-channel here.
+        shell = (55.0, 55.0, 30.0)
+        sty = StylizeConfig(disk_r=12.5, disk_prob=1.0, plane_axes=shell,
+                            plane_intensity=15.0, plane_prob=1.0,
+                            wrap_alpha=0.5, wrap_prob=1.0,
+                            sap_p=0.05, sap_prob=1.0)
+        styl_name = "combo"
+        eval_sets = {
+            "clean": None,
+            "combo": sty,
+            "gibbs12.5": 12.5,
+            "planes15": StylizeConfig(plane_axes=shell, plane_intensity=15.0,
+                                      plane_prob=1.0),
+            "wrap0.5": ("wrap", 0.5),
+            "sap0.05": ("sap", 0.05),
+        }
+        diag = "combo"
     else:
         raise ValueError(f"unknown FAMILY {FAMILY}")
 
@@ -262,6 +288,12 @@ def main() -> None:
                 # 20_results/40_sap
                 "baseline_clean": 0.7433, "baseline_on_sap0p35": 0.4403,
                 "sap35_on_sap0p35": 0.7125,
+            },
+            "combo": {
+                # no pickled table survives for the 127_ stack; the
+                # per-component tables above are the shape anchors — the
+                # stacked model should hold up on EVERY component column
+                "baseline_clean": 0.7433,
             },
         }[FAMILY],
     }

@@ -88,12 +88,14 @@ class StylizeConfig:
     # Image-domain salt & pepper
     sap_p: Optional[ParamSpec] = None
     sap_prob: float = 1.0
-    # Fourier backend: "xla" (jnp.fft, mixed-radix on the VPU), "dft"
-    # (matmul-DFT on the MXU at Precision.HIGHEST — f32-accurate), or
-    # "dft_fast" (single-pass bf16 matmuls, f32 accumulation — measured
-    # ~1e-3 relative error on the stylized output; see BENCHMARKS.md for
-    # the throughput trade at BraTS size).
-    fft_backend: str = "xla"
+    # Fourier backend: "auto" (the default — matmul-DFT on TPU when every
+    # spatial dim fits the MXU bound, jnp.fft otherwise/on CPU), "xla"
+    # (jnp.fft, mixed-radix on the VPU), "dft" (matmul-DFT on the MXU at
+    # Precision.HIGHEST — f32-accurate, measured 1.53x XLA's FFT on the
+    # headline stack), or "dft_fast" (single-pass bf16 matmuls, f32
+    # accumulation — 1.9x XLA at ~9e-3 relative error on the stylized
+    # output; BENCHMARKS.md config 8).
+    fft_backend: str = "auto"
 
     @property
     def any_enabled(self) -> bool:
@@ -151,6 +153,28 @@ def _raw_dist_sq(spatial, center_shift: Tuple[float, ...],
         off = _raw_offset(grid, axis, spatial[axis]) - center_shift[axis]
         total = total + off * off
     return total
+
+
+def _resolve_backend(backend: str, spatial) -> str:
+    """Resolve ``StylizeConfig.fft_backend`` to a concrete backend.
+
+    ``"auto"`` picks the MXU matmul-DFT (Precision.HIGHEST, ~1e-6 relative
+    to jnp.fft — measured 1.53x its throughput on the headline stack,
+    BENCHMARKS.md config 8) whenever the default backend is an accelerator
+    and every spatial dim fits the MXU-friendly bound; on CPU — where the
+    O(n) extra MACs are real time and tests want bit-parity with numpy's
+    FFT — and for oversized axes it stays on ``jnp.fft``. Resolution
+    happens at trace time, so each jitted program is pinned to one backend.
+    """
+    if backend != "auto":
+        if backend not in ("xla", "dft", "dft_fast"):
+            raise ValueError(f"unknown fft_backend {backend!r}")
+        return backend
+    from mvtb_tpu.ops.dft import use_matmul_dft
+
+    if jax.default_backend() != "cpu" and use_matmul_dft(spatial):
+        return "dft"
+    return "xla"
 
 
 def _rfft_eligible(cfg: StylizeConfig, spatial) -> bool:
@@ -246,14 +270,15 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
     axes = tuple(range(-nd, 0))
     ks = stage_keys(key, cfg)
 
-    if cfg.fft_backend == "xla":
+    backend = _resolve_backend(cfg.fft_backend, spatial)
+    if backend == "xla":
         fwd_r, inv_r = jnp.fft.rfftn, jnp.fft.irfftn
         fwd_c = jnp.fft.fftn
         inv_c_real = lambda k, axes: jnp.fft.ifftn(k, axes=axes).real
     else:
         from mvtb_tpu.ops import dft as _dft
 
-        prec = (jax.lax.Precision.DEFAULT if cfg.fft_backend == "dft_fast"
+        prec = (jax.lax.Precision.DEFAULT if backend == "dft_fast"
                 else jax.lax.Precision.HIGHEST)
         fwd_r = partial(_dft.rdft_nd, precision=prec)
         inv_r = partial(_dft.irdft_nd_real, precision=prec)

@@ -72,6 +72,22 @@ def test_irdft_matches_irfftn(shape):
     np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=1e-4)
 
 
+def test_auto_backend_resolution():
+    """"auto" resolves to the XLA FFT on CPU (bit-parity, no O(n) MAC tax)
+    and honors the MXU size bound; explicit names pass through; unknown
+    names raise."""
+    from mvtb_tpu.ops.fused import _resolve_backend
+
+    import jax
+
+    assert jax.default_backend() == "cpu"  # the test env pins cpu
+    assert _resolve_backend("auto", (240, 240, 155)) == "xla"
+    for name in ("xla", "dft", "dft_fast"):
+        assert _resolve_backend(name, (240, 240, 155)) == name
+    with pytest.raises(ValueError):
+        _resolve_backend("fftw", (16, 16))
+
+
 def test_fused_backend_dispatch():
     """StylizeConfig(fft_backend=...) reproduces the XLA-path output —
     f32-accurate for "dft", ~1e-3 relative for single-pass bf16 "dft_fast"
