@@ -1,0 +1,116 @@
+"""AOT serving artifacts: jax.export round trips (mvtb_tpu/serve.py).
+
+The reference has no deployment story beyond ``.pth`` state dicts that need
+the original class tree to revive (reference ``utils.py:286-311``); these
+tests pin the TPU-native replacement — a serialized StableHLO program that
+reloads and runs with no model code in scope.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvtb_tpu.serve import ServingBundle, export_fn, load_fn
+
+
+def _tiny_model_and_params():
+    from mvtb_tpu.models import UNet
+
+    model = UNet(out_channels=3, channels=(4, 8), strides=(2,), num_res_units=1)
+    x = jnp.asarray(np.random.RandomState(3)
+                    .randn(1, 16, 16, 8, 4).astype(np.float32))
+    params = jax.jit(model.init)(jax.random.key(0), x)
+    return model, params, x
+
+
+def test_export_fn_roundtrip_exact():
+    model, params, x = _tiny_model_and_params()
+
+    def fwd(p, img):
+        return model.apply(p, img)
+
+    blob = export_fn(fwd, (params, x))
+    assert isinstance(blob, bytes) and len(blob) > 0
+    served = load_fn(blob)
+    # compiled from serialized StableHLO — bit layout may constant-fold
+    # differently from the in-process jit, so tight-tolerance not bitwise
+    np.testing.assert_allclose(np.asarray(served(params, x)),
+                               np.asarray(jax.jit(fwd)(params, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_exported_program_validates_input_shapes():
+    model, params, x = _tiny_model_and_params()
+    blob = export_fn(lambda p, img: model.apply(p, img), (params, x))
+    served = load_fn(blob)
+    bad = jnp.zeros((1, 8, 8, 8, 4), jnp.float32)
+    with pytest.raises(Exception):
+        jax.block_until_ready(served(params, bad))
+
+
+def test_stylize_exports_with_key_data_arg():
+    # Typed PRNG keys are wrapped inside the exported fn so the artifact's
+    # public signature is plain uint32 key data.
+    from mvtb_tpu.ops.fused import StylizeConfig, stylize_batch
+
+    cfg = StylizeConfig(gibbs_alpha=(0.2, 0.6), sap_p=0.05, spike=True,
+                        spike_range=(9.0, 10.0))
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 2, 16, 16, 8).astype(np.float32))
+
+    def styl(img, key_data):
+        return stylize_batch(img, jax.random.wrap_key_data(key_data), cfg)
+
+    kd = jax.random.key_data(jax.random.key(7))
+    blob = export_fn(styl, (x, kd))
+    served = load_fn(blob)
+    np.testing.assert_allclose(np.asarray(served(x, kd)),
+                               np.asarray(jax.jit(styl)(x, kd)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_serving_bundle_roundtrip_without_model_code(tmp_path):
+    model, params, x = _tiny_model_and_params()
+    path = os.path.join(str(tmp_path), "bundle")
+    ServingBundle.save(path, lambda p, img: model.apply(p, img), params, (x,),
+                       extra_meta={"task": "segmentation"})
+
+    for name in (ServingBundle.PROGRAM, ServingBundle.PARAMS,
+                 ServingBundle.META):
+        assert os.path.exists(os.path.join(path, name))
+    meta = ServingBundle.meta(path)
+    assert meta["task"] == "segmentation"
+    assert meta["inputs"][0]["shape"] == [1, 16, 16, 8, 4]
+
+    # load() touches neither `model` nor any mvtb_tpu model class
+    served = ServingBundle.load(path)
+    np.testing.assert_allclose(np.asarray(served(x)),
+                               np.asarray(model.apply(params, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_serving_bundle_param_hot_swap(tmp_path):
+    model, params, x = _tiny_model_and_params()
+    path = os.path.join(str(tmp_path), "bundle")
+    ServingBundle.save(path, lambda p, img: model.apply(p, img), params, (x,))
+
+    params2 = jax.jit(model.init)(jax.random.key(1), x)
+    served = ServingBundle.load(path, params=params2)
+    np.testing.assert_allclose(np.asarray(served(x)),
+                               np.asarray(model.apply(params2, x)),
+                               rtol=1e-5, atol=1e-5)
+    out_default = ServingBundle.load(path)(x)
+    assert not np.array_equal(np.asarray(served(x)), np.asarray(out_default))
+
+
+def test_meta_json_is_valid(tmp_path):
+    model, params, x = _tiny_model_and_params()
+    path = os.path.join(str(tmp_path), "bundle")
+    ServingBundle.save(path, lambda p, img: model.apply(p, img), params, (x,))
+    with open(os.path.join(path, ServingBundle.META)) as f:
+        meta = json.load(f)
+    assert "cpu" in meta["platforms"]
