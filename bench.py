@@ -63,7 +63,9 @@ def _tpu_throughput() -> float:
         v, acc = carry
         key = jax.random.fold_in(jax.random.key(0), i + (acc * 0).astype(jnp.int32))
         out = stylize_batch(v, key, cfg)
-        return (v, out[0, 0, 0, 0, 0])
+        # sum-reduce so no trailing stage can be dead-code eliminated
+        # (XLA pushes slices through dots; see benchmarks.loop_time)
+        return (v, jnp.sum(out))
 
     run = jax.jit(
         lambda v, k: jax.lax.fori_loop(0, k, body, (v, jnp.float32(0)))[1],

@@ -23,12 +23,20 @@ from mvtb_tpu.ops.fused import StylizeConfig, stylize_batch
 
 
 def loop_time(op, x, lo=2, hi=12):
-    """ms per iteration of ``op(x, i)`` via fori_loop slope (single fetch)."""
+    """ms per iteration of ``op(x, i)`` via fori_loop slope (single fetch).
+
+    The carry reduces the FULL output (``jnp.sum``), not one element: XLA's
+    algebraic simplifier pushes a slice back through dots/transposes, so a
+    ``ravel(out)[0]`` carry lets entire trailing stages be dead-code
+    eliminated (measured: the mask-only rfft config timed ~2x faster than
+    real because its whole inverse transform chain was DCE'd). A sum keeps
+    every output element live at the cost of one fused reduction pass.
+    """
 
     def body(i, carry):
         v, acc = carry
         out = op(v, i + (acc * 0).astype(jnp.int32))
-        return (v, jnp.ravel(out)[0].astype(jnp.float32))
+        return (v, jnp.sum(out).astype(jnp.float32))
 
     run = jax.jit(lambda v, k: jax.lax.fori_loop(0, k, body,
                                                  (v, jnp.float32(0)))[1],
@@ -289,16 +297,21 @@ def config8():
     out = {"name": "fourier_backends_240x240x155_4ch_b4",
            "unit": "volumes/sec"}
     for tag, backend in [("xla_ms", "xla"), ("dft_ms", "dft"),
-                         ("dft_fast_ms", "dft_fast")]:
+                         ("dft_fast_ms", "dft_fast"),
+                         ("hybrid_ms", "hybrid")]:
         cfg = StylizeConfig(**base, fft_backend=backend)
         out[tag] = loop_time(lambda v, i, c=cfg: stylize_batch(
             v, jax.random.fold_in(jax.random.key(0), i), c), x)
     key = jax.random.key(3)
-    ref = stylize_batch(x, key, StylizeConfig(**base))
+    ref = stylize_batch(x, key, StylizeConfig(**base, fft_backend="xla"))
     fast = stylize_batch(x, key, StylizeConfig(**base, fft_backend="dft_fast"))
     out["dft_fast_rel_err"] = float(
         jnp.abs(ref - fast).max() / jnp.abs(ref).max())
-    best = min(out["xla_ms"], out["dft_ms"], out["dft_fast_ms"])
+    hyb = stylize_batch(x, key, StylizeConfig(**base, fft_backend="hybrid"))
+    out["hybrid_rel_err"] = float(
+        jnp.abs(ref - hyb).max() / jnp.abs(ref).max())
+    best = min(out["xla_ms"], out["dft_ms"], out["dft_fast_ms"],
+               out["hybrid_ms"])
     out["ms_per_batch"] = best
     out["items_per_sec"] = B * 1e3 / best
     return out
@@ -357,12 +370,16 @@ def main():
         " that is what lifted headline config 3 from 85 to the value in"
         " the table; only random zero-fill still forces the complex path.",
         f"- **Fourier backends** (config 8, the headline stack): XLA FFT"
-        f" {fb['xla_ms']:.1f} ms/batch vs matmul-DFT on the MXU"
+        f" {fb['xla_ms']:.1f} ms/batch vs all-axis matmul-DFT on the MXU"
         f" {fb['dft_ms']:.1f} ms (f32-accurate) vs single-pass bf16"
         f" matmul-DFT {fb['dft_fast_ms']:.1f} ms at"
-        f" {fb['dft_fast_rel_err']:.1e} relative error"
-        " (StylizeConfig.fft_backend). The half-spectrum rDFT is 0.44x the"
-        " MACs of the full complex transform (ops/dft.py:rdft_nd).",
+        f" {fb['dft_fast_rel_err']:.1e} relative error vs the per-axis"
+        f" **hybrid** {fb['hybrid_ms']:.1f} ms at {fb['hybrid_rel_err']:.1e}"
+        " (XLA FFT on 2/3/5-smooth axes — 240 = 2^4*3*5 — transposed"
+        " innermost, matmul-DFT on the Bluestein-hostile 155 = 5*31 axis;"
+        " StylizeConfig.fft_backend, the accelerator default). The"
+        " half-spectrum rDFT is 0.44x the MACs of the full complex"
+        " transform (ops/dft.py:rdft_nd).",
         "- **Buffer donation**: all train steps donate their state"
         " (in-place optimizer updates); config 4 reflects the donating step.",
         "- **Native NIfTI decode** (host): the C++ one-pass decoder"

@@ -231,3 +231,146 @@ def irdft_nd_real(x: Array, s: Sequence[int], axes: Sequence[int],
 def use_matmul_dft(spatial: Sequence[int]) -> bool:
     """Heuristic: matmul DFT for every axis within the MXU-friendly bound."""
     return all(n <= MATMUL_DFT_MAX_N for n in spatial)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid per-axis backend: XLA FFT for 2/3/5-smooth axis lengths, matmul-DFT
+# for the rest. Measured on the BraTS grid (240, 240, 155): 240 = 2^4*3*5 is
+# FFT-friendly (XLA fft2 over the innermost 240x240 plane beats the matmul
+# pair), while 155 = 5*31 falls into Bluestein territory (XLA rfft 8.5 ms vs
+# ~1.3 ms for the half matmul). The DCE-proof roundtrip comparison is in
+# BENCHMARKS.md. XLA's TPU FFT only operates on innermost axes, so smooth
+# axes are transposed innermost and back — the transpose cost is included in
+# the measured win.
+# ---------------------------------------------------------------------------
+
+
+def _smooth235(n: int) -> bool:
+    """True when ``n`` factors entirely into 2/3/5 (XLA FFT fast radixes)."""
+    for p in (2, 3, 5):
+        while n % p == 0:
+            n //= p
+    return n == 1
+
+
+def _xla_fft_axes(re: Array, im: Optional[Array], axes: Sequence[int],
+                  inverse: bool) -> Tuple[Array, Array]:
+    """Complex (i)FFT over ``axes`` via XLA, transposing them innermost."""
+    nd = re.ndim
+    axes = sorted(a % nd for a in axes)
+    rest = [d for d in range(nd) if d not in axes]
+    perm = rest + axes
+    k = jax.lax.complex(re, jnp.zeros_like(re) if im is None else im)
+    k = jnp.transpose(k, perm)
+    f = jnp.fft.ifftn if inverse else jnp.fft.fftn
+    k = f(k, axes=tuple(range(nd - len(axes), nd)))
+    k = jnp.transpose(k, np.argsort(perm))
+    return k.real, k.imag
+
+
+def _split_smooth(x: Array, axes: Sequence[int]):
+    smooth = [a for a in axes if _smooth235(x.shape[a])]
+    mat = [a for a in axes if not _smooth235(x.shape[a])]
+    return smooth, mat
+
+
+def hybrid_rdft_nd(x: Array, axes: Sequence[int],
+                   precision=jax.lax.Precision.HIGHEST) -> Array:
+    """``jnp.fft.rfftn`` contract with the per-axis hybrid backend."""
+    axes = [a % x.ndim for a in axes]
+    last = axes[-1]
+    n_last = x.shape[last]
+    smooth_lead, mat_lead = _split_smooth(x, axes[:-1])
+
+    if _smooth235(n_last):
+        if not mat_lead:  # fully FFT-friendly: one native HLO, no transposes
+            return jnp.fft.rfftn(x, axes=axes)
+        xm = jnp.moveaxis(x, last, -1)
+        k = jnp.moveaxis(jnp.fft.rfft(xm, axis=-1), -1, last)
+        re, im = k.real, k.imag
+    else:
+        cos, sin = _half_dft_matrix_np(n_last)
+        x_m = jnp.moveaxis(x.astype(jnp.float32), last, -1)
+        re = jnp.moveaxis(_mm(x_m, jnp.asarray(cos), precision), -1, last)
+        im = jnp.moveaxis(_mm(x_m, jnp.asarray(sin), precision), -1, last)
+
+    for a in mat_lead:
+        re, im = _axis_dft(re, im, a, inverse=False, precision=precision)
+    if smooth_lead:
+        re, im = _xla_fft_axes(re, im, smooth_lead, inverse=False)
+    return jax.lax.complex(re, im)
+
+
+def hybrid_irdft_nd_real(x: Array, s: Sequence[int], axes: Sequence[int],
+                         precision=jax.lax.Precision.HIGHEST) -> Array:
+    """``jnp.fft.irfftn`` contract with the per-axis hybrid backend."""
+    axes = [a % x.ndim for a in axes]
+    last = axes[-1]
+    n = int(s[-1])
+    smooth_lead, mat_lead = _split_smooth(x, axes[:-1])
+
+    if _smooth235(n) and not mat_lead:
+        return jnp.fft.irfftn(x, s=tuple(s), axes=axes)
+
+    re, im = x.real, x.imag
+    if smooth_lead:
+        re, im = _xla_fft_axes(re, im, smooth_lead, inverse=True)
+    for a in mat_lead:
+        re, im = _axis_dft(re, im, a, inverse=True, precision=precision)
+
+    if _smooth235(n):
+        km = jnp.moveaxis(jax.lax.complex(re, im), last, -1)
+        return jnp.moveaxis(jnp.fft.irfft(km, n=n, axis=-1), -1, last)
+    cosT, sinT = _half_idft_matrix_np(n)
+    re_m = jnp.moveaxis(re, last, -1)
+    im_m = jnp.moveaxis(im, last, -1)
+    out = (_mm(re_m, jnp.asarray(cosT), precision)
+           - _mm(im_m, jnp.asarray(sinT), precision))
+    return jnp.moveaxis(out, -1, last)
+
+
+def hybrid_dft_nd(x: Array, axes: Sequence[int],
+                  precision=jax.lax.Precision.HIGHEST) -> Array:
+    """``jnp.fft.fftn`` contract with the per-axis hybrid backend."""
+    axes = [a % x.ndim for a in axes]
+    smooth, mat = _split_smooth(x, axes)
+    if jnp.iscomplexobj(x):
+        re, im = x.real, x.imag
+    else:
+        re, im = x.astype(jnp.float32), None
+    for a in mat:
+        re, im = _axis_dft(re, im, a, inverse=False, precision=precision)
+    if smooth:
+        re, im = _xla_fft_axes(re, im, smooth, inverse=False)
+    return jax.lax.complex(re, im)
+
+
+def hybrid_idft_nd_real(x: Array, axes: Sequence[int],
+                        precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Inverse n-D DFT (real part only) with the per-axis hybrid backend.
+
+    When at least one axis is matmul-backed, its inverse runs last so the
+    imaginary output of the final contraction is never computed (the same
+    25% saving as :func:`idft_nd_real`).
+    """
+    axes = [a % x.ndim for a in axes]
+    smooth, mat = _split_smooth(x, axes)
+    if jnp.iscomplexobj(x):
+        re, im = x.real, x.imag
+    else:
+        re, im = x.astype(jnp.float32), None
+    if smooth:
+        re, im = _xla_fft_axes(re, im, smooth, inverse=True)
+    if not mat:
+        return re
+    for a in mat[:-1]:
+        re, im = _axis_dft(re, im, a, inverse=True, precision=precision)
+    axis = mat[-1]
+    n = re.shape[axis]
+    cos, sin = _dft_matrix_np(n, inverse=True)
+    re_m = jnp.moveaxis(re, axis, -1)
+    out = _mm(re_m, jnp.asarray(cos), precision)
+    if im is not None:
+        im_m = jnp.moveaxis(im, axis, -1)
+        out = out - _mm(im_m, jnp.asarray(sin), precision)
+    return jnp.moveaxis(out, -1, axis)

@@ -88,13 +88,14 @@ class StylizeConfig:
     # Image-domain salt & pepper
     sap_p: Optional[ParamSpec] = None
     sap_prob: float = 1.0
-    # Fourier backend: "auto" (the default — matmul-DFT on TPU when every
-    # spatial dim fits the MXU bound, jnp.fft otherwise/on CPU), "xla"
-    # (jnp.fft, mixed-radix on the VPU), "dft" (matmul-DFT on the MXU at
-    # Precision.HIGHEST — f32-accurate, measured 1.53x XLA's FFT on the
-    # headline stack), or "dft_fast" (single-pass bf16 matmuls, f32
-    # accumulation — 1.9x XLA at ~9e-3 relative error on the stylized
-    # output; BENCHMARKS.md config 8).
+    # Fourier backend: "auto" (the default — the per-axis "hybrid" on
+    # accelerators when every spatial dim fits the MXU bound, jnp.fft
+    # otherwise/on CPU), "hybrid" (XLA FFT for 2/3/5-smooth axis lengths,
+    # matmul-DFT on the MXU for the rest — f32-accurate, the measured
+    # fastest on the BraTS grid; BENCHMARKS.md), "xla" (jnp.fft,
+    # mixed-radix/Bluestein on the VPU), "dft" (all-axis matmul-DFT at
+    # Precision.HIGHEST), or "dft_fast" (single-pass bf16 matmuls, f32
+    # accumulation — fastest all-matmul mode at ~9e-3 relative error).
     fft_backend: str = "auto"
 
     @property
@@ -158,22 +159,24 @@ def _raw_dist_sq(spatial, center_shift: Tuple[float, ...],
 def _resolve_backend(backend: str, spatial) -> str:
     """Resolve ``StylizeConfig.fft_backend`` to a concrete backend.
 
-    ``"auto"`` picks the MXU matmul-DFT (Precision.HIGHEST, ~1e-6 relative
-    to jnp.fft — measured 1.53x its throughput on the headline stack,
-    BENCHMARKS.md config 8) whenever the default backend is an accelerator
-    and every spatial dim fits the MXU-friendly bound; on CPU — where the
-    O(n) extra MACs are real time and tests want bit-parity with numpy's
-    FFT — and for oversized axes it stays on ``jnp.fft``. Resolution
-    happens at trace time, so each jitted program is pinned to one backend.
+    ``"auto"`` picks the per-axis ``"hybrid"`` (XLA FFT for 2/3/5-smooth
+    axis lengths, MXU matmul-DFT at Precision.HIGHEST for Bluestein-hostile
+    ones — ~1e-6 relative to jnp.fft, the measured fastest on the BraTS
+    grid; BENCHMARKS.md config 8) whenever the default backend is an
+    accelerator and every spatial dim fits the MXU-friendly bound; on CPU —
+    where the O(n) extra MACs are real time and tests want bit-parity with
+    numpy's FFT — and for oversized axes it stays on ``jnp.fft``.
+    Resolution happens at trace time, so each jitted program is pinned to
+    one backend.
     """
     if backend != "auto":
-        if backend not in ("xla", "dft", "dft_fast"):
+        if backend not in ("xla", "dft", "dft_fast", "hybrid"):
             raise ValueError(f"unknown fft_backend {backend!r}")
         return backend
     from mvtb_tpu.ops.dft import use_matmul_dft
 
     if jax.default_backend() != "cpu" and use_matmul_dft(spatial):
-        return "dft"
+        return "hybrid"
     return "xla"
 
 
@@ -275,6 +278,14 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
         fwd_r, inv_r = jnp.fft.rfftn, jnp.fft.irfftn
         fwd_c = jnp.fft.fftn
         inv_c_real = lambda k, axes: jnp.fft.ifftn(k, axes=axes).real
+    elif backend == "hybrid":
+        from mvtb_tpu.ops import dft as _dft
+
+        prec = jax.lax.Precision.HIGHEST
+        fwd_r = partial(_dft.hybrid_rdft_nd, precision=prec)
+        inv_r = partial(_dft.hybrid_irdft_nd_real, precision=prec)
+        fwd_c = partial(_dft.hybrid_dft_nd, precision=prec)
+        inv_c_real = partial(_dft.hybrid_idft_nd_real, precision=prec)
     else:
         from mvtb_tpu.ops import dft as _dft
 

@@ -82,10 +82,47 @@ def test_auto_backend_resolution():
 
     assert jax.default_backend() == "cpu"  # the test env pins cpu
     assert _resolve_backend("auto", (240, 240, 155)) == "xla"
-    for name in ("xla", "dft", "dft_fast"):
+    for name in ("xla", "dft", "dft_fast", "hybrid"):
         assert _resolve_backend(name, (240, 240, 155)) == name
     with pytest.raises(ValueError):
         _resolve_backend("fftw", (16, 16))
+
+
+@pytest.mark.parametrize("shape", [
+    (12, 14, 10),   # mixed: 14 = 2*7 is matmul-backed, 12/10 are XLA-backed
+    (8, 6, 10),     # all 2/3/5-smooth: degenerates to native rfftn/irfftn
+    (7, 11, 13),    # no smooth axis: degenerates to the all-matmul path
+    (14, 9, 22),    # non-smooth leading and trailing axes
+])
+def test_hybrid_rdft_matches_rfftn(shape):
+    x = np.random.RandomState(8).randn(2, *shape).astype(np.float32)
+    axes = (-3, -2, -1)
+    want = np.asarray(jnp.fft.rfftn(jnp.asarray(x), axes=axes))
+    got = np.asarray(dft.hybrid_rdft_nd(jnp.asarray(x), axes))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=1e-4)
+
+    k = jnp.asarray(want) * (1.0 + 0.1j)
+    want_inv = np.asarray(jnp.fft.irfftn(k, s=shape, axes=axes))
+    got_inv = np.asarray(dft.hybrid_irdft_nd_real(k, shape, axes))
+    scale = max(np.abs(want_inv).max(), 1e-6)
+    np.testing.assert_allclose(got_inv, want_inv, atol=2e-5 * scale, rtol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(12, 14, 10), (7, 11, 13), (8, 6, 10)])
+def test_hybrid_complex_path_matches_fftn(shape):
+    x = np.random.RandomState(9).randn(2, *shape).astype(np.float32)
+    axes = (-3, -2, -1)
+    want = np.asarray(jnp.fft.fftn(jnp.asarray(x), axes=axes))
+    got = np.asarray(dft.hybrid_dft_nd(jnp.asarray(x), axes))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=1e-4)
+
+    k = jnp.asarray(want) * (1.0 + 0.05j)
+    want_inv = np.asarray(jnp.fft.ifftn(k, axes=axes).real)
+    got_inv = np.asarray(dft.hybrid_idft_nd_real(k, axes))
+    scale = max(np.abs(want_inv).max(), 1e-6)
+    np.testing.assert_allclose(got_inv, want_inv, atol=2e-5 * scale, rtol=1e-4)
 
 
 def test_fused_backend_dispatch():
@@ -108,6 +145,9 @@ def test_fused_backend_dispatch():
         scale = float(jnp.abs(ref).max())
         acc = stylize_kspace(x, key, StylizeConfig(**base, fft_backend="dft"))
         assert float(jnp.abs(ref - acc).max()) < 1e-5 * scale
+        hyb = stylize_kspace(x, key,
+                             StylizeConfig(**base, fft_backend="hybrid"))
+        assert float(jnp.abs(ref - hyb).max()) < 1e-5 * scale
         fast = stylize_kspace(x, key,
                               StylizeConfig(**base, fft_backend="dft_fast"))
         assert float(jnp.abs(ref - fast).max()) < 2e-2 * scale
