@@ -141,6 +141,15 @@ def config4():
         return time.perf_counter() - t0
 
     ms = (min(t(8), t(8)) - min(t(2), t(2))) / 6 * 1e3
+    # Roofline context (static; the tunnel backend's compiled cost_analysis
+    # under-counts convs ~30x and lowered analysis returns None, so the FLOP
+    # count comes from CPU XLA on the identical program): the forward alone
+    # is 50.9 GFLOP at batch 4 (jit(fwd).lower(...).compile().cost_analysis()
+    # with JAX_PLATFORMS=cpu), so fwd+bwd+optimizer is ~0.15 TFLOP/step —
+    # ~1% of v5e bf16 peak at ~79 ms. The MONAI-parity UNet strides 2 at its
+    # FIRST conv (4.8M params, channels <= 256), so the step is dominated by
+    # many small low-occupancy 3D convs plus the augmentation FFTs, not by
+    # MXU-saturating GEMMs; the headroom is architectural.
     return {"name": "3d_unet_train_step_b4_128x128x64_bf16",
             "ms_per_step": ms, "items_per_sec": B * 1e3 / ms,
             "unit": "volumes/sec"}
@@ -317,10 +326,55 @@ def config8():
     return out
 
 
+def config9():
+    """Serving-side inference: UNet forward (sigmoid probs), batch 1 and 8.
+
+    The latency/throughput a `mvtb_tpu.serve.ServingBundle` consumer sees
+    (the exported program is the same jitted forward; BENCHMARKS narrative).
+    """
+    from mvtb_tpu.models import UNet
+
+    SP = (128, 128, 64)
+    model = UNet(out_channels=3, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1,) + SP + (4,), jnp.float32))
+
+    # params travel as jit args (closure capture embeds 4.8M weights as HLO
+    # constants — remote-compile size trap); sum carry as in loop_time
+    def run(k, params, x):
+        def body(i, carry):
+            x, acc = carry
+            probs = jax.nn.sigmoid(
+                model.apply(params, x * (1 + 1e-7 * i + acc * 0)))
+            return (x, jnp.sum(probs).astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, k, body, (x, jnp.float32(0)))[1]
+
+    runj = jax.jit(run, static_argnums=0)
+    out = {"name": "unet_inference_128x128x64_bf16", "unit": "volumes/sec"}
+    for B, tag in ((1, "b1"), (8, "b8")):
+        x = jnp.asarray(np.random.RandomState(0).randn(B, *SP, 4), np.float32)
+        lo, hi = 4, 24
+        float(runj(lo, params, x))
+        float(runj(hi, params, x))
+
+        def t(k):
+            t0 = time.perf_counter()
+            float(runj(k, params, x))
+            return time.perf_counter() - t0
+
+        ms = (min(t(hi), t(hi)) - min(t(lo), t(lo))) / (hi - lo) * 1e3
+        out[f"ms_{tag}"] = ms
+        out[f"vols_per_sec_{tag}"] = B * 1e3 / ms
+    out["ms_per_item"] = out["ms_b1"]
+    out["items_per_sec"] = out["vols_per_sec_b8"]
+    return out
+
+
 def main():
     results = []
     for fn in (config1, config2, config3, config4, config5, config6, config7,
-               config8):
+               config8, config9):
         r = fn()
         print(json.dumps(r), flush=True)
         results.append(r)
@@ -328,8 +382,9 @@ def main():
     lines = [
         "# BENCHMARKS — TPU v5e (1 chip), measured",
         "",
-        "All five BASELINE.json configs, device-loop slope timing",
-        "(see bench.py). Regenerate with `python benchmarks.py`.",
+        "The five BASELINE.json configs plus added measurements (point-edit",
+        "tail, rfft path, Fourier backends, inference), device-loop slope",
+        "timing (see bench.py). Regenerate with `python benchmarks.py`.",
         "",
         "| # | Config | Time | Throughput |",
         "|---|---|---|---|",
@@ -382,6 +437,35 @@ def main():
         " transform (ops/dft.py:rdft_nd).",
         "- **Buffer donation**: all train steps donate their state"
         " (in-place optimizer updates); config 4 reflects the donating step.",
+    ]
+    unet = next(r for r in results if r["name"].startswith("3d_unet"))
+    lines += [
+        f"- **Train-step roofline** (config 4): the forward alone is"
+        " 50.9 GFLOP at batch 4 (CPU XLA cost analysis of the identical"
+        " program — the tunnel backend's own cost model under-counts convs"
+        f" ~30x), so fwd+bwd+optimizer is ~0.15 TFLOP/step -> ~1% of v5e"
+        f" bf16 peak at {unet['ms_per_step']:.1f} ms. The MONAI-parity UNet"
+        " strides 2 at its FIRST conv (4.8M params, channels <= 256): the"
+        " step is many small low-occupancy 3D convs plus augmentation FFTs,"
+        " not MXU-saturating GEMMs — the headroom is architectural.",
+    ]
+    inf = next((r for r in results if r["name"].startswith("unet_inference")),
+               None)
+    if inf is not None:
+        lines += [
+            f"- **Serving inference** (config 9): the UNet forward"
+            f" (sigmoid probs) runs at {inf['ms_b1']:.1f} ms/volume batch-1"
+            f" latency and {inf['vols_per_sec_b8']:.0f} volumes/sec at"
+            f" batch 8 ({inf['ms_b8']:.1f} ms/batch) — the program a"
+            " `mvtb_tpu.serve.ServingBundle` consumer executes.",
+        ]
+    lines += [
+        "- **Harness integrity**: the timing loop carries jnp.sum(out), not"
+        " out[0] — XLA pushes slices back through dots/transposes, and a"
+        " one-element carry let entire inverse-transform chains be DCE'd"
+        " (the mask-only config once timed ~2x faster than real; stacks"
+        " ending in salt&pepper were immune because its min/max reductions"
+        " keep every element live). See loop_time's docstring.",
         "- **Native NIfTI decode** (host): the C++ one-pass decoder"
         " (gzip inflate fused with int16->float32 conversion,"
         " `mvtb_tpu/native/nifti.cpp`) reads a BraTS-shaped 240x240x155x4"
