@@ -423,7 +423,7 @@ def main():
         " writes also ride the half spectrum via the Hermitian-projected"
         " write H[c] += (w - k[s])*scale (ops/fused.py:point_update) —"
         " that is what lifted headline config 3 from 85 to the value in"
-        " the table; only random zero-fill still forces the complex path.",
+        " the table. EVERY k-space stage now rides the half spectrum: even-size Gibbs masks apply the explicitly symmetrized weight (w[i]+w[-i])/2 and random zero-fill draws pair-iid Bernoulli keeps — both exactly what the .real projection realifies, so the complex leg below is a forced-path measurement.",
         f"- **Fourier backends** (config 8, the headline stack): XLA FFT"
         f" {fb['xla_ms']:.1f} ms/batch vs all-axis matmul-DFT on the MXU"
         f" {fb['dft_ms']:.1f} ms (f32-accurate) vs single-pass bf16"

@@ -184,32 +184,34 @@ def _rfft_eligible(cfg: StylizeConfig, spatial) -> bool:
     """True when the k-space portion can run through rfftn/irfftn (half the
     FFT flops and half the elementwise/HBM traffic on the weight multiply).
 
-    Multiplicative weights ride the half spectrum iff they are mod-n
-    symmetric (``w[i] == w[(n-i) % n]``), so the weighted spectrum of a real
-    input stays Hermitian: the disk mask (center floor(n/2)) and the
-    wraparound parity weight are symmetric for ALL sizes; the GibbsNoise
-    mask's half-integer center ((n-1)/2) is symmetric only for odd sizes.
+    Every k-space stage now rides the half spectrum, because for a real
+    input the final ``.real`` projection — which the reference's sequential
+    per-op composition also applies — makes each edit exactly
+    Hermitian-representable:
 
-    Point writes (spike/plane) ride the half spectrum too, because the
-    final ``.real`` projection makes the full-path write exactly Hermitian:
-    writing ``w`` at point ``s`` then realifying yields the spectrum update
-    ``K[s] = (w + conj(k[-s]))/2`` with the conjugate at ``-s`` — i.e. the
-    half-grid update ``H[c] += (w - k[s])/2`` (conjugated when ``s``'s
-    canonical half-grid representative ``c`` is its mirror). irfftn's
-    implicit completion places ``conj(H[c])`` at the true Hermitian mirror
-    ``-c`` (and drops the imaginary part at fully self-mirrored points),
-    which is precisely the projection the complex path applies — see
-    ``point_update`` below. Random zero-fill keeps the complex path (its
-    Bernoulli mask is asymmetric and per-point draw parity matters).
-    Verified against the complex path in tests/test_fused.py.
+    * Mod-n-symmetric multiplicative weights (``w[i] == w[(n-i) % n]``) —
+      the disk mask (center floor(n/2)) and the wraparound parity weight for
+      ALL sizes — keep the spectrum Hermitian as-is.
+    * Asymmetric real weights realify to the SYMMETRIZED weight
+      ``(w[i] + w[-i])/2`` (the Hermitian part of ``w*K`` for Hermitian
+      ``K``), so the GibbsNoise mask at even sizes applies its mirror
+      average explicitly, and random zero-fill draws iid Bernoulli keeps
+      per conjugate pair and applies ``(b_i + b_{-i})/2`` (see the zf stage
+      in :func:`stylize_kspace` for the boundary-slab pairing).
+    * Point writes (spike/plane): writing ``w`` at point ``s`` then
+      realifying yields the spectrum update ``K[s] = (w + conj(k[-s]))/2``
+      with the conjugate at ``-s`` — i.e. the half-grid update
+      ``H[c] += (w - k[s])/2`` (conjugated when ``s``'s canonical half-grid
+      representative ``c`` is its mirror). irfftn's implicit completion
+      places ``conj(H[c])`` at the true Hermitian mirror ``-c`` (and drops
+      the imaginary part at fully self-mirrored points), which is precisely
+      the projection the complex path applies — see ``point_update`` below.
+
+    Verified against the complex path in tests/test_fused.py. The complex
+    path remains reachable (it is what non-real inputs or future
+    complex-valued stages would use) and is kept measured in BENCHMARKS.md.
     """
-    if cfg.zf_p is not None:
-        return False
-    if cfg.gibbs_alpha is not None and any(n % 2 == 0 for n in spatial):
-        return False
-    return (cfg.disk_r is not None or cfg.wrap_alpha is not None
-            or cfg.gibbs_alpha is not None or cfg.spike
-            or cfg.plane_axes is not None)
+    return cfg.kspace_needed
 
 
 def _to_raw_index(shifted_idx, n: int):
@@ -317,6 +319,24 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
             alpha = _sample(ks["gibbs_alpha"], cfg.gibbs_alpha, rdtype)
             r = (1.0 - alpha) * max(spatial) * math.sqrt(2.0) / 2.0
             m = (dist_sq <= r * r).astype(rdtype)
+            if use_rfft and any(d != 0 for d in deltas):
+                # Even axes make the (n-1)/2-centered mask mod-n asymmetric;
+                # the final .real projection applies the SYMMETRIZED weight
+                # (w[i]+w[-i])/2 — in the reference's sequential op too — so
+                # the half spectrum carries that symmetrization explicitly.
+                # The mirror of raw offset o is -o EXCEPT at an even axis's
+                # Nyquist index (o = -n/2 is self-mirrored and keeps its
+                # offset; +n/2 is not a representable frequency).
+                dist_sq_m = jnp.zeros(grid, jnp.float32)
+                for axis in range(nd):
+                    n_ax = spatial[axis]
+                    off = _raw_offset(grid, axis, n_ax)
+                    off_m = -off
+                    if n_ax % 2 == 0:
+                        off_m = jnp.where(off == -(n_ax // 2), off, off_m)
+                    dd = off_m - deltas[axis]
+                    dist_sq_m = dist_sq_m + dd * dd
+                m = (m + (dist_sq_m <= r * r).astype(rdtype)) * 0.5
             g = _gate(ks["gibbs_gate"], cfg.gibbs_prob)
             weight = jnp.where(g, m, jnp.ones((), rdtype))
         if cfg.disk_r is not None:
@@ -353,10 +373,35 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
 
         # ---- zero-fill ----
         if cfg.zf_p is not None:
-            u = jax.random.uniform(ks["zf_u"], k.shape, rdtype)
             g = _gate(ks["zf_gate"], cfg.zf_prob)
-            keep = jnp.logical_or(u > cfg.zf_p, jnp.logical_not(g))
-            k = k * keep.astype(rdtype)
+            if use_rfft:
+                # The realified full-grid weight at a conjugate pair (i, -i)
+                # is (b_i + b_{-i})/2 with iid Bernoulli keeps — the same
+                # projection the reference's per-op .real applies. On the
+                # half grid: interior bins pair with an off-grid mirror
+                # (second independent field); bins whose LAST-axis index is
+                # self-mirrored (0, and n/2 for even n) pair within the slab
+                # at the other-axes mirrored position (roll-flip indexing);
+                # fully self-paired points degenerate to a single draw
+                # automatically (b1m == b1 there).
+                u1 = jax.random.uniform(ks["zf_u"], k.shape, rdtype)
+                u2 = jax.random.uniform(jax.random.fold_in(ks["zf_u"], 1),
+                                        k.shape, rdtype)
+                b1 = (u1 > cfg.zf_p).astype(rdtype)
+                b2 = (u2 > cfg.zf_p).astype(rdtype)
+                b1m = b1
+                for ax in range(-nd, -1):
+                    b1m = jnp.roll(jnp.flip(b1m, ax), 1, ax)
+                n_last = spatial[-1]
+                h = jax.lax.broadcasted_iota(jnp.int32, k.shape, k.ndim - 1)
+                h_self = jnp.logical_or(
+                    h == 0, (n_last % 2 == 0) & (h == n_last // 2))
+                w_zf = jnp.where(h_self, (b1 + b1m) * 0.5, (b1 + b2) * 0.5)
+                k = k * jnp.where(g, w_zf, jnp.ones((), rdtype))
+            else:
+                u = jax.random.uniform(ks["zf_u"], k.shape, rdtype)
+                keep = jnp.logical_or(u > cfg.zf_p, jnp.logical_not(g))
+                k = k * keep.astype(rdtype)
 
         # ---- magnitude-domain edits (spikes / plane waves) ----
         # A write at ONE k-point per channel only needs that point. The

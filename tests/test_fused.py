@@ -108,20 +108,25 @@ def test_rfft_fast_path_matches_ops():
         want = ops.wrap_artifact(ops.fourier_disk_filter(x, 4.0, 3, False), 0.25)
         assert_close(got, want)
 
-    # gibbs is rfft-eligible only on all-odd sizes (half-integer center)
-    x_odd = jnp.asarray(np.random.RandomState(2).randn(1, 9, 9, 7).astype(np.float32))
-    cfg_g = StylizeConfig(gibbs_alpha=0.5)
-    assert _rfft_eligible(cfg_g, (9, 9, 7))
-    assert not _rfft_eligible(cfg_g, (8, 9, 7))
-    assert_close(stylize_kspace(x_odd, jax.random.key(0), cfg_g),
-                 ops.gibbs_noise(x_odd, 0.5))
+    # gibbs rides the half spectrum for ALL sizes: odd sizes directly
+    # (mod-n-symmetric mask), even sizes via the explicitly symmetrized
+    # weight (w[i]+w[-i])/2 — the projection the per-op .real applies
+    for shape in [(1, 9, 9, 7), (2, 24, 20, 15), (1, 16, 16, 8)]:
+        xg = jnp.asarray(np.random.RandomState(2).randn(*shape).astype(np.float32))
+        for alpha in (0.0, 0.5):
+            cfg_g = StylizeConfig(gibbs_alpha=alpha)
+            assert _rfft_eligible(cfg_g, shape[1:])
+            assert_close(stylize_kspace(xg, jax.random.key(0), cfg_g),
+                         ops.gibbs_noise(xg, alpha))
 
-    # point writes ride the half spectrum (Hermitian-projected write);
-    # random zero-fill forces the complex path
+    # point writes ride the half spectrum (Hermitian-projected write), and
+    # so does random zero-fill (pair-iid Bernoulli keeps, realified weight
+    # (b_i + b_-i)/2): nothing forces the complex path anymore
     assert _rfft_eligible(StylizeConfig(disk_r=4.0, spike=True), (8, 8, 8))
     assert _rfft_eligible(
         StylizeConfig(disk_r=4.0, plane_axes=(3., 3., 3.)), (8, 8, 8))
-    assert not _rfft_eligible(StylizeConfig(zf_p=0.2), (8, 8, 8))
+    assert _rfft_eligible(StylizeConfig(zf_p=0.2), (8, 8, 8))
+    assert _rfft_eligible(StylizeConfig(gibbs_alpha=0.5), (8, 9, 7))
 
 
 def test_rfft_point_write_rule_exhaustive():
@@ -322,6 +327,29 @@ def test_zero_fill_distribution():
     out = stylize_kspace(x, jax.random.key(0), StylizeConfig(zf_p=1.0))
     # p=1 zeroes all of k-space
     assert float(jnp.abs(out).max()) < 1e-4
+    # p=0 keeps everything (round-trip identity)
+    out0 = stylize_kspace(x, jax.random.key(0), StylizeConfig(zf_p=0.0))
+    assert_close(out0, x, tol=1e-5)
+
+
+def test_zero_fill_rfft_realified_weight_distribution():
+    """The half-spectrum zf applies the realified weight (b_i + b_-i)/2 per
+    conjugate pair: recovered per-bin weights must lie in {0, 1/2, 1} with
+    mean ~ 1-p (iid Bernoulli keeps), matching what the complex path's
+    .real projection produces."""
+    p = 0.3
+    x = _x(3)
+    out = stylize_kspace(x, jax.random.key(5), StylizeConfig(zf_p=p))
+    kx = np.asarray(jnp.fft.rfftn(x, axes=(-3, -2, -1)))
+    ko = np.asarray(jnp.fft.rfftn(out, axes=(-3, -2, -1)))
+    live = np.abs(kx) > 1e-3 * np.abs(kx).max()
+    w = (ko[live] / kx[live]).real
+    # weights quantize to {0, 1/2, 1}
+    snapped = np.round(w * 2) / 2
+    assert np.abs(w - snapped).max() < 1e-2
+    assert set(np.unique(snapped)).issubset({0.0, 0.5, 1.0})
+    # mean keep-probability ~ 1-p (loose 3-sigma-ish bound)
+    assert abs(w.mean() - (1 - p)) < 0.04
 
 
 def test_grad_through_fused_gibbs():
