@@ -13,13 +13,14 @@ volume; generating masks from ``broadcasted_iota`` in raw coordinates makes
 them free and leaves exactly one HBM round trip between the FFTs.
 
 Semantics note: the reference's sequential version projects to the real part
-between corruptions; the fused path stays complex until the final iFFT. This
-is mathematically transparent for the reference's stacks — the masks and
-wrap weights are Hermitian-symmetric and a magnitude write at one k-point
-commutes with symmetrization via conjugate pairing — so the fused stacked
-output matches the sequential reference-order composition (disk -> plane ->
-wrap -> s&p, real projection between stages) within 2e-4 relative at BraTS
-size (tests/test_fused.py::test_stacked_fused_matches_sequential_*). The
+between corruptions. For real inputs the fused path runs entirely on the
+rfft half spectrum (see ``_rfft_eligible``), whose Hermitian representation
+IS the realified state — every stage (symmetrized weights, pair-averaged
+zero-fill, Hermitian-projected point writes) applies exactly what the
+reference's per-stage ``.real`` realifies, so the fused stacked output
+matches the sequential reference-order composition (disk -> plane -> wrap ->
+s&p, real projection between stages) within 2e-4 relative at BraTS size
+(tests/test_fused.py::test_stacked_fused_matches_sequential_*). The
 stage order of the reference is preserved exactly: the wraparound weight is
 deferred past the plane/spike write whenever magnitude edits are enabled.
 One documented exception: when an earlier mask already ZEROED the k-point a
