@@ -59,17 +59,26 @@ def _abstractify(tree: Any) -> Any:
 
 
 def export_fn(fn: Callable, example_args: tuple, *,
-              platforms: Optional[Sequence[str]] = None) -> bytes:
+              platforms: Optional[Sequence[str]] = None,
+              polymorphic_shapes=None) -> bytes:
     """Serialize ``jit(fn)`` traced at ``example_args``'s shapes/dtypes.
 
     ``example_args`` may be real arrays or ``ShapeDtypeStruct``s — only
-    avals are read. The returned bytes are a versioned, self-contained
-    StableHLO program (``jax.export`` serialization).
+    avals are read. ``polymorphic_shapes`` (a pytree prefix of
+    ``jax.export`` shape-spec strings, e.g. ``(None, "b, ...")`` to make
+    the second argument's leading dim symbolic) produces one artifact that
+    serves ANY size along the symbolic dims. The returned bytes are a
+    versioned, self-contained StableHLO program.
     """
+    if polymorphic_shapes is not None:
+        args_specs = jax_export.symbolic_args_specs(example_args,
+                                                    polymorphic_shapes)
+    else:
+        args_specs = _abstractify(example_args)
     exp = jax_export.export(
         jax.jit(fn),
         platforms=tuple(platforms) if platforms else tuple(default_platforms()),
-    )(*_abstractify(example_args))
+    )(*args_specs)
     return bytes(exp.serialize())
 
 
@@ -105,19 +114,26 @@ class ServingBundle:
     @classmethod
     def save(cls, path: str, fn: Callable, params: Any, example_inputs: tuple,
              *, platforms: Optional[Sequence[str]] = None,
+             batch_polymorphic: bool = False,
              extra_meta: Optional[dict] = None) -> None:
+        """``batch_polymorphic=True`` makes every input's leading dim a
+        symbolic ``b``: one artifact serves any batch size (the example's
+        batch size is only a trace shape)."""
         import flax.serialization as fser
 
         os.makedirs(path, exist_ok=True)
         platforms = tuple(platforms) if platforms else tuple(default_platforms())
+        poly = ((None,) + ("b, ...",) * len(example_inputs)
+                if batch_polymorphic else None)
         blob = export_fn(fn, (params,) + tuple(example_inputs),
-                         platforms=platforms)
+                         platforms=platforms, polymorphic_shapes=poly)
         with open(os.path.join(path, cls.PROGRAM), "wb") as f:
             f.write(blob)
         with open(os.path.join(path, cls.PARAMS), "wb") as f:
             f.write(fser.to_bytes(params))
         meta = {
             "platforms": list(platforms),
+            "batch_polymorphic": bool(batch_polymorphic),
             "inputs": [{"shape": list(np.shape(x)),
                         "dtype": str(jax.dtypes.result_type(x))}
                        for x in example_inputs],

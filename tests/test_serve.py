@@ -114,3 +114,21 @@ def test_meta_json_is_valid(tmp_path):
     with open(os.path.join(path, ServingBundle.META)) as f:
         meta = json.load(f)
     assert "cpu" in meta["platforms"]
+
+
+def test_batch_polymorphic_bundle_serves_any_batch(tmp_path):
+    """batch_polymorphic=True exports a symbolic leading dim: one artifact
+    serves batch sizes it was never traced at."""
+    model, params, x = _tiny_model_and_params()
+    path = os.path.join(str(tmp_path), "bundle")
+    ServingBundle.save(path, lambda p, img: model.apply(p, img), params, (x,),
+                       batch_polymorphic=True)
+    assert ServingBundle.meta(path)["batch_polymorphic"] is True
+
+    served = ServingBundle.load(path)
+    for b in (1, 3):
+        xb = jnp.asarray(np.random.RandomState(b)
+                         .randn(b, 16, 16, 8, 4).astype(np.float32))
+        np.testing.assert_allclose(np.asarray(served(xb)),
+                                   np.asarray(model.apply(params, xb)),
+                                   rtol=1e-5, atol=1e-5)
