@@ -64,8 +64,9 @@ def _tpu_throughput() -> float:
         key = jax.random.fold_in(jax.random.key(0), i + (acc * 0).astype(jnp.int32))
         out = stylize_batch(v, key, cfg)
         # sum-reduce so no trailing stage can be dead-code eliminated
-        # (XLA pushes slices through dots; see benchmarks.loop_time)
-        return (v, jnp.sum(out))
+        # (XLA pushes slices through dots; see benchmarks.loop_time);
+        # cast so a non-f32 output dtype can't break the carry signature
+        return (v, jnp.sum(out).astype(jnp.float32))
 
     run = jax.jit(
         lambda v, k: jax.lax.fori_loop(0, k, body, (v, jnp.float32(0)))[1],

@@ -247,6 +247,8 @@ def use_matmul_dft(spatial: Sequence[int]) -> bool:
 
 def _smooth235(n: int) -> bool:
     """True when ``n`` factors entirely into 2/3/5 (XLA FFT fast radixes)."""
+    if n <= 0:
+        return False  # 0 % p == 0 forever — a zero-length axis must not spin
     for p in (2, 3, 5):
         while n % p == 0:
             n //= p

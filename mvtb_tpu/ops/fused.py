@@ -211,7 +211,13 @@ def _rfft_eligible(cfg: StylizeConfig, spatial) -> bool:
     Verified against the complex path in tests/test_fused.py. The complex
     path remains reachable (it is what non-real inputs or future
     complex-valued stages would use) and is kept measured in BENCHMARKS.md.
+
+    NOTE: this function is a deliberate monkeypatch seam — benchmarks.py
+    (config 7's forced-complex leg) and tests/test_fused.py patch it to
+    False to drive the complex path. Do not inline it into
+    ``stylize_kspace``.
     """
+    del spatial  # shape no longer affects eligibility; kept for the seam API
     return cfg.kspace_needed
 
 
@@ -327,7 +333,10 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 # the half spectrum carries that symmetrization explicitly.
                 # The mirror of raw offset o is -o EXCEPT at an even axis's
                 # Nyquist index (o = -n/2 is self-mirrored and keeps its
-                # offset; +n/2 is not a representable frequency).
+                # offset; +n/2 is not a representable frequency). This is
+                # the same conjugate-pair mirror the zero-fill stage below
+                # realizes by roll/flip FIELD indexing — offsets here, array
+                # indices there; keep the two in sync.
                 dist_sq_m = jnp.zeros(grid, jnp.float32)
                 for axis in range(nd):
                     n_ax = spatial[axis]
@@ -382,9 +391,11 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 # half grid: interior bins pair with an off-grid mirror
                 # (second independent field); bins whose LAST-axis index is
                 # self-mirrored (0, and n/2 for even n) pair within the slab
-                # at the other-axes mirrored position (roll-flip indexing);
-                # fully self-paired points degenerate to a single draw
-                # automatically (b1m == b1 there).
+                # at the other-axes mirrored position (roll-flip indexing —
+                # the index-space form of the offset mirror the gibbs stage
+                # above uses; keep the two in sync); fully self-paired
+                # points degenerate to a single draw automatically
+                # (b1m == b1 there).
                 u1 = jax.random.uniform(ks["zf_u"], k.shape, rdtype)
                 u2 = jax.random.uniform(jax.random.fold_in(ks["zf_u"], 1),
                                         k.shape, rdtype)

@@ -116,15 +116,23 @@ class ServingBundle:
              *, platforms: Optional[Sequence[str]] = None,
              batch_polymorphic: bool = False,
              extra_meta: Optional[dict] = None) -> None:
-        """``batch_polymorphic=True`` makes every input's leading dim a
-        symbolic ``b``: one artifact serves any batch size (the example's
-        batch size is only a trace shape)."""
+        """``batch_polymorphic=True`` makes the batched inputs' leading dim
+        a symbolic ``b``: one artifact serves any batch size (the example's
+        batch size is only a trace shape). "Batched" means rank >= 1 with
+        the same leading dim as the FIRST example input — side inputs like
+        PRNG key data or scalars keep their concrete shapes (unifying their
+        unrelated dims under ``b`` would pin the batch to the example's)."""
         import flax.serialization as fser
 
         os.makedirs(path, exist_ok=True)
         platforms = tuple(platforms) if platforms else tuple(default_platforms())
-        poly = ((None,) + ("b, ...",) * len(example_inputs)
-                if batch_polymorphic else None)
+        poly = None
+        if batch_polymorphic:
+            lead = np.shape(example_inputs[0])[0]
+            poly = (None,) + tuple(
+                "b, ..." if (np.ndim(x) >= 1 and np.shape(x)[0] == lead)
+                else None
+                for x in example_inputs)
         blob = export_fn(fn, (params,) + tuple(example_inputs),
                          platforms=platforms, polymorphic_shapes=poly)
         with open(os.path.join(path, cls.PROGRAM), "wb") as f:
