@@ -161,3 +161,39 @@ def test_batch_polymorphic_skips_non_batched_inputs(tmp_path):
                          .randn(b, 2, 16, 16, 8).astype(np.float32))
         out = np.asarray(served(xb, kd))
         assert out.shape == xb.shape and np.isfinite(out).all()
+
+
+def test_sharded_export_serves_on_the_mesh():
+    """A data-parallel forward exports WITH its shardings (jax.export keeps
+    the NamedSharding layout; nr_devices is baked in) and the reloaded
+    program runs sharded on the same-size mesh — AOT serving composes with
+    the parallel layer, which the reference (single-GPU, .pth) cannot do."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mvtb_tpu.parallel import batch_sharding, make_mesh, replicate
+
+    model, params, _ = _tiny_model_and_params()
+    mesh = make_mesh(8, 1)
+    xsh = batch_sharding(mesh, ndim=5)
+    x = jax.device_put(
+        jnp.asarray(np.random.RandomState(0)
+                    .randn(8, 16, 16, 8, 4).astype(np.float32)), xsh)
+    params_r = replicate(mesh, params)
+    psh = jax.tree.map(lambda v: v.sharding, params_r)
+
+    fwd = jax.jit(lambda p, v: model.apply(p, v),
+                  in_shardings=(psh, xsh), out_shardings=xsh)
+    from jax import export as jax_export
+
+    specs = (
+        jax.tree.map(lambda v: jax.ShapeDtypeStruct(v.shape, v.dtype,
+                                                    sharding=v.sharding),
+                     params_r),
+        jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=xsh),
+    )
+    exp = jax_export.export(fwd)(*specs)
+    assert exp.nr_devices == 8
+    served = jax.jit(jax_export.deserialize(bytes(exp.serialize())).call)
+    out = served(params_r, x)
+    assert len(out.sharding.device_set) == 8  # still sharded over the mesh
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fwd(params_r, x)),
+                               rtol=1e-5, atol=1e-5)
