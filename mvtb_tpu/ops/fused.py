@@ -126,20 +126,31 @@ def _gate(key: jax.Array, prob: float) -> Array:
     return jax.random.bernoulli(key, prob)
 
 
-def _raw_offset(grid, axis: int, n: Optional[int] = None) -> Array:
-    """Per-axis offset-from-center grid in RAW (unshifted) FFT coordinates.
+def _off_of(i: Array, n: int) -> Array:
+    """Offset-from-center of raw FFT index array ``i`` (any shape, float32).
 
     For raw index i and c = floor(n/2): the fftshifted position is
     ``s = (i + c) mod n``, so the offset from the shifted center is
-    ``s - c = i`` for ``i < n - c`` and ``i - n`` otherwise. Generated from
-    iota, so XLA fuses it into the consuming elementwise op — nothing is
-    read from HBM. ``grid`` may be the rfft half-spectrum shape; ``n`` is
-    the logical (full) axis length (defaults to the grid's).
+    ``s - c = i`` for ``i < n - c`` and ``i - n`` otherwise. The SAME
+    function evaluates the weight on the full grid (``i`` = iota) and at
+    individual k-points (``i`` = a (C,) location vector) — sharing the math
+    keeps the two bit-identical, which the one-pass point-write path relies
+    on (see :func:`stylize_kspace`).
+    """
+    c = n // 2
+    return jnp.where(i < n - c, i, i - n)
+
+
+def _raw_offset(grid, axis: int, n: Optional[int] = None) -> Array:
+    """Per-axis offset-from-center grid in RAW (unshifted) FFT coordinates.
+
+    Generated from iota, so XLA fuses it into the consuming elementwise op —
+    nothing is read from HBM. ``grid`` may be the rfft half-spectrum shape;
+    ``n`` is the logical (full) axis length (defaults to the grid's).
     """
     n = grid[axis] if n is None else n
-    c = n // 2
     i = jax.lax.broadcasted_iota(jnp.float32, grid, axis)
-    return jnp.where(i < n - c, i, i - n)
+    return _off_of(i, n)
 
 
 def _raw_dist_sq(spatial, center_shift: Tuple[float, ...],
@@ -317,68 +328,120 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
             k = fwd_c(x, axes=axes)  # RAW coordinates — no shift rolls
             grid = spatial
 
-        # ---- radial masks: generated on the fly, fused into the multiply ----
-        weight = None  # lazy (C-broadcastable) multiplicative weight on k
+        # ---- multiplicative weight: ONE shared definition ----
+        # Each stage contributes a callable over per-axis raw-index arrays
+        # (int32). Evaluated on broadcasted iotas it yields the grid weight
+        # (fused into the multiply — nothing read from HBM); evaluated on a
+        # (C,) location vector it yields the weight AT a k-point, which the
+        # one-pass point-write path below uses. Sharing the arithmetic makes
+        # the two bit-identical (int->f32 casts of exact small ints are
+        # exact, and the 0/1/0.5/alpha factor products commute exactly).
+        wparts = []  # in reference stage order: gibbs, disk, wrap
+
         if cfg.gibbs_alpha is not None:
             # GibbsNoise center is (n-1)/2: shifted-center delta (n-1)/2 - n//2
             deltas = tuple((n - 1) / 2 - n // 2 for n in spatial)
-            dist_sq = _raw_dist_sq(spatial, deltas, grid)
             alpha = _sample(ks["gibbs_alpha"], cfg.gibbs_alpha, rdtype)
-            r = (1.0 - alpha) * max(spatial) * math.sqrt(2.0) / 2.0
-            m = (dist_sq <= r * r).astype(rdtype)
-            if use_rfft and any(d != 0 for d in deltas):
-                # Even axes make the (n-1)/2-centered mask mod-n asymmetric;
-                # the final .real projection applies the SYMMETRIZED weight
-                # (w[i]+w[-i])/2 — in the reference's sequential op too — so
-                # the half spectrum carries that symmetrization explicitly.
-                # The mirror of raw offset o is -o EXCEPT at an even axis's
-                # Nyquist index (o = -n/2 is self-mirrored and keeps its
-                # offset; +n/2 is not a representable frequency). This is
-                # the same conjugate-pair mirror the zero-fill stage below
-                # realizes by roll/flip FIELD indexing — offsets here, array
-                # indices there; keep the two in sync.
-                dist_sq_m = jnp.zeros(grid, jnp.float32)
+            r_g = (1.0 - alpha) * max(spatial) * math.sqrt(2.0) / 2.0
+            g_g = _gate(ks["gibbs_gate"], cfg.gibbs_prob)
+            sym = use_rfft and any(d != 0 for d in deltas)
+
+            def gibbs_part(idx, _r=r_g, _g=g_g, _deltas=deltas, _sym=sym):
+                dist_sq = None
                 for axis in range(nd):
-                    n_ax = spatial[axis]
-                    off = _raw_offset(grid, axis, n_ax)
-                    off_m = -off
-                    if n_ax % 2 == 0:
-                        off_m = jnp.where(off == -(n_ax // 2), off, off_m)
-                    dd = off_m - deltas[axis]
-                    dist_sq_m = dist_sq_m + dd * dd
-                m = (m + (dist_sq_m <= r * r).astype(rdtype)) * 0.5
-            g = _gate(ks["gibbs_gate"], cfg.gibbs_prob)
-            weight = jnp.where(g, m, jnp.ones((), rdtype))
+                    off = (_off_of(idx[axis].astype(jnp.float32),
+                                   spatial[axis]) - _deltas[axis])
+                    sq = off * off
+                    dist_sq = sq if dist_sq is None else dist_sq + sq
+                m = (dist_sq <= _r * _r).astype(rdtype)
+                if _sym:
+                    # Even axes make the (n-1)/2-centered mask mod-n
+                    # asymmetric; the final .real projection applies the
+                    # SYMMETRIZED weight (w[i]+w[-i])/2 — in the reference's
+                    # sequential op too — so the half spectrum carries that
+                    # symmetrization explicitly. The mirror of raw offset o
+                    # is -o EXCEPT at an even axis's Nyquist index (o = -n/2
+                    # is self-mirrored and keeps its offset; +n/2 is not a
+                    # representable frequency). This is the same
+                    # conjugate-pair mirror the zero-fill stage below
+                    # realizes by roll/flip FIELD indexing — offsets here,
+                    # array indices there; keep the two in sync.
+                    dist_sq_m = None
+                    for axis in range(nd):
+                        n_ax = spatial[axis]
+                        off = _off_of(idx[axis].astype(jnp.float32), n_ax)
+                        off_m = -off
+                        if n_ax % 2 == 0:
+                            off_m = jnp.where(off == -(n_ax // 2), off, off_m)
+                        dd = off_m - _deltas[axis]
+                        sq = dd * dd
+                        dist_sq_m = sq if dist_sq_m is None else dist_sq_m + sq
+                    m = (m + (dist_sq_m <= _r * _r).astype(rdtype)) * 0.5
+                return jnp.where(_g, m, jnp.ones((), rdtype))
+
+            wparts.append(gibbs_part)
+
         if cfg.disk_r is not None:
-            dist_sq = _raw_dist_sq(spatial, (0.0,) * nd, grid)
-            r = _sample(ks["disk_r"], cfg.disk_r, rdtype)
-            inside = dist_sq < r * r
-            m = (jnp.logical_not(inside) if cfg.disk_inside_off else inside).astype(rdtype)
-            g = _gate(ks["disk_gate"], cfg.disk_prob)
-            m = jnp.where(g, m, jnp.ones((), rdtype))
-            weight = m if weight is None else weight * m
+            r_d = _sample(ks["disk_r"], cfg.disk_r, rdtype)
+            g_d = _gate(ks["disk_gate"], cfg.disk_prob)
+
+            def disk_part(idx, _r=r_d, _g=g_d):
+                dist_sq = None
+                for axis in range(nd):
+                    off = (_off_of(idx[axis].astype(jnp.float32),
+                                   spatial[axis]) - 0.0)
+                    sq = off * off
+                    dist_sq = sq if dist_sq is None else dist_sq + sq
+                inside = dist_sq < _r * _r
+                m = (jnp.logical_not(inside)
+                     if cfg.disk_inside_off else inside).astype(rdtype)
+                return jnp.where(_g, m, jnp.ones((), rdtype))
+
+            wparts.append(disk_part)
 
         # ---- wraparound: parity of the SHIFTED index, computed raw ----
-        # Folds into the single radial-mask multiply. The reference's stacked
-        # order is Gibbs -> planes -> wrap (127_.../:138-141) — wrap scales
-        # the plane/spike-written point too — preserved below by scaling each
-        # WRITTEN value with the wrap parity factor at its location
-        # (multiplying first is equivalent elsewhere: the weights commute).
+        # The reference's stacked order is Gibbs -> planes -> wrap
+        # (127_.../:138-141) — wrap scales the plane/spike-written point too
+        # — preserved by scaling each WRITTEN value with the wrap parity
+        # factor at its location (multiplying first is equivalent elsewhere:
+        # the weights commute).
         wrap_alpha_val = None
         if cfg.wrap_alpha is not None:
             alpha = _sample(ks["wrap_alpha"], cfg.wrap_alpha, rdtype)
-            g = _gate(ks["wrap_gate"], cfg.wrap_prob)
-            wrap_alpha_val = jnp.where(g, alpha, jnp.ones((), rdtype))
-            for d in range(nd):
-                n = spatial[d]
-                c = n // 2
-                i = jax.lax.broadcasted_iota(jnp.int32, grid, d)
-                s = jnp.where(i < n - c, i + c, i + c - n)  # shifted index
-                w = jnp.where(s % 2 == 1, wrap_alpha_val,
-                              jnp.ones((), rdtype))
-                weight = w if weight is None else weight * w
+            g_w = _gate(ks["wrap_gate"], cfg.wrap_prob)
+            wrap_alpha_val = jnp.where(g_w, alpha, jnp.ones((), rdtype))
 
-        if weight is not None:
+            def wrap_part(idx, _a=wrap_alpha_val):
+                w = None
+                for d in range(nd):
+                    n = spatial[d]
+                    c = n // 2
+                    i = idx[d]
+                    s = jnp.where(i < n - c, i + c, i + c - n)  # shifted
+                    wd = jnp.where(s % 2 == 1, _a, jnp.ones((), rdtype))
+                    w = wd if w is None else w * wd
+                return w
+
+            wparts.append(wrap_part)
+
+        def weight_of(idx):
+            w = None
+            for part in wparts:
+                f = part(idx)
+                w = f if w is None else w * f
+            return w
+
+        weight = (weight_of(tuple(
+            jax.lax.broadcasted_iota(jnp.int32, grid, d) for d in range(nd)))
+            if wparts else None)
+
+        # One-pass point strategy: when magnitude edits are enabled and no
+        # zero-fill stage sits between the weight and the writes, the weight
+        # multiply is DEFERRED into a single write pass that also applies
+        # every point delta (see below); otherwise multiply here.
+        fast_points = ((cfg.spike or cfg.plane_axes is not None)
+                       and cfg.zf_p is None)
+        if weight is not None and not fast_points:
             k = k * weight  # single fused elementwise pass over k
 
         # ---- zero-fill ----
@@ -419,18 +482,29 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
         # A write at ONE k-point per channel only needs that point. The
         # round-1 implementation reconstructed the ENTIRE volume through
         # log/angle -> exp/cos/sin (a ~2 ms/volume elementwise tail at BraTS
-        # size). Here the point's C complex values are read with a fused
-        # iota-mask reduction and written back with a fused select — XLA
-        # keeps everything in the natural layout and untouched points stay
-        # bit-exact. (A gather/scatter or dynamic-slice formulation of the
-        # same thing makes XLA pick a channel-minor tiled layout whose
-        # padded copy is ~50x the array — OOM at the 240x240x155 headline
-        # size.) The reference's post-write wraparound (its stage order) is
-        # the parity factor at the written location.
+        # size). Round 2 read each point with a fused iota-mask reduction
+        # and wrote it back with a fused select — but sequentially: weight
+        # pass, spike read, spike write, plane read, plane write = ~5 HBM
+        # sweeps of the spectrum. Now (``fast_points``) every point is read
+        # from the RAW spectrum in ONE fused pass, the weight AT each point
+        # is evaluated scalar-side with the shared ``weight_of`` arithmetic
+        # (bit-identical to the grid weight, and multiplication commutes
+        # exactly), deltas/new values are computed on (C,) vectors, and one
+        # fused write pass applies ``k*weight`` plus every point edit. The
+        # zero-fill stage is a full random FIELD between weight and writes —
+        # its value at a point is not scalar-evaluable — so zf configs keep
+        # the sequential ``point_update`` path. (A gather/scatter or
+        # dynamic-slice formulation of the reads makes XLA pick a
+        # channel-minor tiled layout whose padded copy is ~50x the array —
+        # OOM at the 240x240x155 headline size; the iota-mask forms stay in
+        # the natural layout.) The reference's post-write wraparound (its
+        # stage order) is the parity factor at the written location.
         if cfg.spike or cfg.plane_axes is not None:
             spatial_axes = tuple(range(-nd, 0))
             iotas = [jax.lax.broadcasted_iota(jnp.int32, grid, d)
                      for d in range(nd)]
+            cdim = (slice(None),) + (None,) * nd
+            czero = jnp.zeros((), k.dtype)
 
             def wrap_at(shifted):
                 f = jnp.ones((), rdtype)
@@ -441,42 +515,64 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                                       jnp.ones((), rdtype))
                 return f
 
-            def point_update(kk, raw_locs, target_mag, gates):
-                """Set |k| to ``target_mag`` (keeping phase) at the
-                per-channel point ``raw_locs`` (tuple of (C,) raw FULL-grid
-                indices), where ``gates`` (C,) allows.
+            def canon_locs(raw_locs):
+                """Canonicalize (C,) raw FULL-grid indices into the stored
+                grid. rfft mode: points whose last index falls in the
+                discarded half mirror through ``-s mod n`` (value reads
+                conjugated); complex mode: identity."""
+                if not use_rfft:
+                    return raw_locs, None
+                in_half = raw_locs[-1] < grid[-1]
+                locs = tuple(
+                    jnp.where(in_half, raw_locs[d],
+                              (spatial[d] - raw_locs[d]) % spatial[d])
+                    for d in range(nd))
+                return locs, in_half
 
-                Complex mode: a fused iota-mask read + select write.
-                rfft mode: the realified-write update derived in
-                ``_rfft_eligible`` — canonicalize ``s`` into the half grid
-                (mirroring through ``-s mod n`` when its last index falls in
-                the discarded half, conjugating the value), then
-                ``H[c] += (w - k[s]) * scale``. ``scale`` accounts for
-                irfftn's completion coefficient (verified exhaustively over
-                all grid points, tests/test_fused.py): interior last-axis
-                bins contribute ``delta`` at ``s`` plus ``conj(delta)`` at
-                the true Hermitian mirror ``-s`` (scale 1/2); on the
-                self-mirrored last-axis bins (0 and n/2) the in-plane
-                Hermitian projection halves the contribution (scale 1 —
-                including fully self-mirrored points, where only
-                ``Re(delta)`` survives but the full path likewise keeps
-                only ``Re(w)``). The += form also makes colliding
-                per-channel writes accumulate instead of last-write-wins.
-                """
-                cdim = (slice(None),) + (None,) * nd
-                if use_rfft:
-                    in_half = raw_locs[-1] < grid[-1]
-                    locs = tuple(
-                        jnp.where(in_half, raw_locs[d],
-                                  (spatial[d] - raw_locs[d]) % spatial[d])
-                        for d in range(nd))
-                else:
-                    locs = raw_locs
+            def pos_of(locs):
                 pos = None
                 for d in range(nd):
                     eq = iotas[d][None] == locs[d][cdim]
                     pos = eq if pos is None else pos & eq
-                read = jnp.sum(jnp.where(pos, kk, jnp.zeros((), kk.dtype)),
+                return pos
+
+            def weight_at(locs):
+                """Grid-weight value at (C,) canonical locations — the same
+                ``weight_of`` arithmetic the grid multiply uses."""
+                if not wparts:
+                    return jnp.ones((C,), rdtype)
+                return jnp.broadcast_to(weight_of(locs), (C,)).astype(rdtype)
+
+            def rfft_delta(old, locs, in_half, target_mag, gates):
+                """The realified-write update derived in ``_rfft_eligible``:
+                ``H[c] += (w - k[s]) * scale`` for the per-channel point
+                value ``old = k[s]`` at canonical locs ``locs``. ``scale``
+                accounts for irfftn's completion coefficient (verified
+                exhaustively over all grid points, tests/test_fused.py):
+                interior last-axis bins contribute ``delta`` at ``s`` plus
+                ``conj(delta)`` at the true Hermitian mirror ``-s`` (scale
+                1/2); on the self-mirrored last-axis bins (0 and n/2) the
+                in-plane Hermitian projection halves the contribution (scale
+                1 — including fully self-mirrored points, where only
+                ``Re(delta)`` survives but the full path likewise keeps only
+                ``Re(w)``). The += form also makes colliding per-channel
+                writes accumulate instead of last-write-wins."""
+                new = from_polar(target_mag.astype(rdtype), jnp.angle(old))
+                z_self = (locs[-1] == 0) | (2 * locs[-1] == spatial[-1])
+                scale = jnp.where(z_self, 1.0, 0.5).astype(rdtype)
+                delta = (new - old) * scale
+                delta = jnp.where(in_half, delta, jnp.conj(delta))
+                return jnp.where(gates, delta, czero)
+
+            def point_update(kk, raw_locs, target_mag, gates):
+                """Sequential form (zf-coexistence path): set |k| to
+                ``target_mag`` (keeping phase) at the per-channel point
+                ``raw_locs``, where ``gates`` (C,) allows — fused iota-mask
+                read + select write (complex) / Hermitian-projected +=
+                (rfft, see :func:`rfft_delta`)."""
+                locs, in_half = canon_locs(raw_locs)
+                pos = pos_of(locs)
+                read = jnp.sum(jnp.where(pos, kk, czero),
                                axis=spatial_axes)  # (C,) fused reduction
                 if not use_rfft:
                     new = from_polar(target_mag.astype(rdtype),
@@ -484,18 +580,21 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                     write = pos & gates[cdim]
                     return jnp.where(write, new[cdim], kk)
                 old = jnp.where(in_half, read, jnp.conj(read))  # k[s]
-                new = from_polar(target_mag.astype(rdtype), jnp.angle(old))
-                z_self = (locs[-1] == 0) | (2 * locs[-1] == spatial[-1])
-                scale = jnp.where(z_self, 1.0, 0.5).astype(rdtype)
-                delta = (new - old) * scale
-                delta = jnp.where(in_half, delta, jnp.conj(delta))
-                delta = jnp.where(gates, delta, jnp.zeros((), kk.dtype))
-                return kk + jnp.where(pos, delta[cdim],
-                                      jnp.zeros((), kk.dtype))
+                delta = rfft_delta(old, locs, in_half, target_mag, gates)
+                return kk + jnp.where(pos, delta[cdim], czero)
 
+            # In the slow path ``k`` is already weighted (and zero-filled);
+            # in the fast path the weighted spectrum exists only as an
+            # expression — XLA fuses the iota-built weight into whichever
+            # pass consumes it (the data-dependent spike mean below and the
+            # final write pass), so it is never materialized on its own.
+            kw_view = k if not fast_points else (
+                k * weight if weight is not None else k)
+
+            spike_args = None
             if cfg.spike:
                 if cfg.spike_range is None:
-                    logmag = jnp.log(jnp.abs(k) + 1e-10)
+                    logmag = jnp.log(jnp.abs(kw_view) + 1e-10)
                     if use_rfft:
                         # full-grid mean from the half spectrum: interior
                         # last-axis bins appear twice in the full grid
@@ -533,9 +632,9 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                     gates = jnp.full((C,), _gate(ks["spike_gate"], cfg.spike_prob))
                 locs = tuple(_to_raw_index(shifted[d], spatial[d])
                              for d in range(nd))
-                k = point_update(k, locs, jnp.exp(vals) * wrap_at(shifted),
-                                 gates)
+                spike_args = (locs, jnp.exp(vals) * wrap_at(shifted), gates)
 
+            plane_args = None
             if cfg.plane_axes is not None:
                 a, b, c3 = cfg.plane_axes
                 shell = jnp.asarray(ellipsoid_shell_mask(spatial, a, b, c3).ravel())
@@ -547,7 +646,82 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 g = _gate(ks["plane_gate"], cfg.plane_prob)
                 mag = jnp.full((C,), jnp.exp(
                     jnp.asarray(cfg.plane_intensity, rdtype))) * wrap_at(loc)
-                k = point_update(k, raw, mag, jnp.full((C,), g))
+                plane_args = (raw, mag, jnp.full((C,), g))
+
+            if not fast_points:
+                if spike_args is not None:
+                    k = point_update(k, *spike_args)
+                if plane_args is not None:
+                    k = point_update(k, *plane_args)
+            else:
+                # ---- one-pass reads, scalar deltas, one-pass write ----
+                if spike_args is not None:
+                    locs_s, in_half_s = canon_locs(spike_args[0])
+                    pos_s = pos_of(locs_s)
+                    read_s_raw = jnp.sum(jnp.where(pos_s, k, czero),
+                                         axis=spatial_axes)
+                if plane_args is not None:
+                    locs_p, in_half_p = canon_locs(plane_args[0])
+                    pos_p = pos_of(locs_p)
+                    read_p_raw = jnp.sum(jnp.where(pos_p, k, czero),
+                                         axis=spatial_axes)
+                # (both reductions above fuse into one sweep over raw k)
+
+                coll = None  # per-channel canonical-loc collision mask
+                if spike_args is not None and plane_args is not None:
+                    coll = None
+                    for d in range(nd):
+                        eq = locs_s[d] == locs_p[d]
+                        coll = eq if coll is None else coll & eq
+
+                if use_rfft:
+                    delta_s = delta_p = None
+                    if spike_args is not None:
+                        read_s = read_s_raw * weight_at(locs_s)
+                        old_s = jnp.where(in_half_s, read_s,
+                                          jnp.conj(read_s))
+                        delta_s = rfft_delta(old_s, locs_s, in_half_s,
+                                             spike_args[1], spike_args[2])
+                    if plane_args is not None:
+                        read_p = read_p_raw * weight_at(locs_p)
+                        if coll is not None:
+                            # plane reads the post-spike spectrum: add the
+                            # spike's (gated) delta where the canonical
+                            # locations coincide (same channel only — each
+                            # channel owns its own grid)
+                            read_p = read_p + jnp.where(coll, delta_s, czero)
+                        old_p = jnp.where(in_half_p, read_p,
+                                          jnp.conj(read_p))
+                        delta_p = rfft_delta(old_p, locs_p, in_half_p,
+                                             plane_args[1], plane_args[2])
+                    kw = kw_view
+                    if delta_s is not None:
+                        kw = kw + jnp.where(pos_s, delta_s[cdim], czero)
+                    if delta_p is not None:
+                        kw = kw + jnp.where(pos_p, delta_p[cdim], czero)
+                    k = kw
+                else:
+                    new_s = None
+                    if spike_args is not None:
+                        read_s = read_s_raw * weight_at(locs_s)
+                        new_s = from_polar(spike_args[1].astype(rdtype),
+                                           jnp.angle(read_s))
+                    kw = kw_view
+                    if spike_args is not None:
+                        kw = jnp.where(pos_s & spike_args[2][cdim],
+                                       new_s[cdim], kw)
+                    if plane_args is not None:
+                        read_p = read_p_raw * weight_at(locs_p)
+                        if coll is not None:
+                            # set semantics: a gated spike write at the same
+                            # point is what the plane would read back
+                            read_p = jnp.where(coll & spike_args[2],
+                                               new_s, read_p)
+                        new_p = from_polar(plane_args[1].astype(rdtype),
+                                           jnp.angle(read_p))
+                        kw = jnp.where(pos_p & plane_args[2][cdim],
+                                       new_p[cdim], kw)
+                    k = kw
 
         if use_rfft:
             out = inv_r(k, s=spatial, axes=axes).astype(x.dtype)
