@@ -674,16 +674,24 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                         eq = locs_s[d] == locs_p[d]
                         coll = eq if coll is None else coll & eq
 
+                # ``raw * weight`` keeps the RAW value's zero signs when the
+                # weight is 0, but the sequential path reads the WEIGHTED
+                # grid through a masked sum whose (+0) filler canonicalizes
+                # any -0 ((-0) + (+0) = +0) — and jnp.angle(-0+0j) is pi,
+                # not 0, so the written value's sign would flip at
+                # weight-zeroed points. Adding czero reproduces the masked
+                # sum's canonicalization bit-exactly (and is the same fix
+                # the sharded point update carries).
                 if use_rfft:
                     delta_s = delta_p = None
                     if spike_args is not None:
-                        read_s = read_s_raw * weight_at(locs_s)
+                        read_s = read_s_raw * weight_at(locs_s) + czero
                         old_s = jnp.where(in_half_s, read_s,
                                           jnp.conj(read_s))
                         delta_s = rfft_delta(old_s, locs_s, in_half_s,
                                              spike_args[1], spike_args[2])
                     if plane_args is not None:
-                        read_p = read_p_raw * weight_at(locs_p)
+                        read_p = read_p_raw * weight_at(locs_p) + czero
                         if coll is not None:
                             # plane reads the post-spike spectrum: add the
                             # spike's (gated) delta where the canonical
@@ -703,7 +711,7 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 else:
                     new_s = None
                     if spike_args is not None:
-                        read_s = read_s_raw * weight_at(locs_s)
+                        read_s = read_s_raw * weight_at(locs_s) + czero
                         new_s = from_polar(spike_args[1].astype(rdtype),
                                            jnp.angle(read_s))
                     kw = kw_view
@@ -711,7 +719,7 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                         kw = jnp.where(pos_s & spike_args[2][cdim],
                                        new_s[cdim], kw)
                     if plane_args is not None:
-                        read_p = read_p_raw * weight_at(locs_p)
+                        read_p = read_p_raw * weight_at(locs_p) + czero
                         if coll is not None:
                             # set semantics: a gated spike write at the same
                             # point is what the plane would read back

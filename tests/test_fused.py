@@ -322,6 +322,34 @@ def test_stacked_masked_plane_point_matches_in_magnitude():
     np.testing.assert_allclose(kg, kw, atol=5e-3 * scale, rtol=5e-3)
 
 
+def test_masked_point_write_pins_phase_zero():
+    """Regression (signed-zero trap): at a weight-zeroed k-point the plane
+    write must pin phase 0 even when the RAW spectrum value there is
+    negative. The one-pass fast path reads the point from the raw spectrum
+    and multiplies by the weight afterwards — ``raw * 0.0`` keeps raw's sign
+    bits, and ``jnp.angle(-0+0j)`` is pi, which silently flipped the written
+    value's sign (caught by the sharded-vs-single dryrun check). The fix
+    canonicalizes the weighted read with ``+ (0+0j)``.
+    """
+    spatial = (48, 48, 24)
+    x = np.zeros((1,) + spatial, np.float32)
+    x[0, 0, 0, 0] = -1.0  # FFT is exactly -1 everywhere: raw real part < 0
+    cfg = StylizeConfig(disk_r=6.0, disk_prob=1.0,
+                        plane_axes=(20.0, 20.0, 10.0), plane_intensity=7.0,
+                        plane_prob=1.0)
+    key = jax.random.key(21)
+    out = np.asarray(stylize_kspace(jnp.asarray(x), key, cfg))
+
+    ks = stage_keys(key, cfg)
+    loc = _plane_loc_from_key(ks["plane_loc"], spatial, (20.0, 20.0, 10.0))
+    raw = tuple((loc[d] - spatial[d] // 2) % spatial[d] for d in range(3))
+    kv = np.fft.fftn(out[0], axes=(-3, -2, -1))[raw]
+    # phase 0 -> positive real value; the final .real projection leaves
+    # exp(I)/2 at the point (its conjugate pair carries the other half)
+    assert kv.real > 0, f"masked-point write came out negative: {kv}"
+    np.testing.assert_allclose(abs(kv), np.exp(7.0) / 2, rtol=1e-3)
+
+
 def test_zero_fill_distribution():
     x = _x()
     out = stylize_kspace(x, jax.random.key(0), StylizeConfig(zf_p=1.0))
