@@ -433,10 +433,15 @@ def main():
         f" {fb['dft_fast_rel_err']:.1e} relative error vs the per-axis"
         f" **hybrid** {fb['hybrid_ms']:.1f} ms at {fb['hybrid_rel_err']:.1e}"
         " (XLA FFT on 2/3/5-smooth axes — 240 = 2^4*3*5 — transposed"
-        " innermost, matmul-DFT on the Bluestein-hostile 155 = 5*31 axis;"
-        " StylizeConfig.fft_backend, the accelerator default). The"
-        " half-spectrum rDFT is 0.44x the MACs of the full complex"
-        " transform (ops/dft.py:rdft_nd).",
+        " innermost, matmul-DFT on the Bluestein-hostile 155 = 5*31 axis)."
+        " Complex-input axes use Gauss's 3-matmul contraction (25% fewer"
+        " MACs than the naive 4 — ops/dft.py:_gauss_dft_matrices_np); that"
+        " is what put the f32-accurate all-matmul backend ahead of the"
+        " hybrid and made it the accelerator 'auto' default"
+        " (StylizeConfig.fft_backend) — it also wins on fully 2/3/5-smooth"
+        " shapes (1.57 vs 2.30 ms at 128x128x64 b4; 0.14 vs 0.29 ms on the"
+        " 2D 240x240 b32 suite). The half-spectrum rDFT is 0.44x the MACs"
+        " of the full complex transform (ops/dft.py:rdft_nd).",
         "- **Buffer donation**: all train steps donate their state"
         " (in-place optimizer updates); config 4 reflects the donating step.",
     ]

@@ -11,7 +11,8 @@ wins by a wide margin for n up to a few thousand.
 ``jnp.fft.fftn`` / ``ifftn`` over trailing axes; ``rdft_nd`` / ``irdft_nd_real``
 mirror ``rfftn`` / ``irfftn`` on the half spectrum (0.44x the MACs at BraTS
 size). Complex arithmetic is expressed as real matmuls so the MXU sees plain
-GEMMs. Every function takes a ``precision``: the default ``HIGHEST`` keeps
+GEMMs — complex-input axes use Gauss's 3-matmul trick (25% fewer MACs than
+the naive 4; see ``_gauss_dft_matrices_np``). Every function takes a ``precision``: the default ``HIGHEST`` keeps
 ~1e-6 relative accuracy; ``DEFAULT`` drops to single-pass bf16 inputs with
 f32 accumulation (~1e-3 relative — the ``StylizeConfig.fft_backend="dft_fast"``
 augmentation mode; measured numbers in BENCHMARKS.md).
@@ -32,9 +33,8 @@ Array = jnp.ndarray
 MATMUL_DFT_MAX_N = 4096
 
 
-@lru_cache(maxsize=64)
-def _dft_matrix_np(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
-    """(cos, sin) parts of the (i)DFT matrix, float32, computed in float64.
+def _dft_matrix_f64(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) parts of the (i)DFT matrix in float64.
 
     Forward: W[j, k] = exp(-2i pi j k / n); inverse: conj / n.
     """
@@ -46,7 +46,35 @@ def _dft_matrix_np(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
     if inverse:
         cos /= n
         sin /= n
+    return cos, sin
+
+
+@lru_cache(maxsize=64)
+def _dft_matrix_np(n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray]:
+    """float32 (cos, sin) parts of the (i)DFT matrix, computed in float64."""
+    cos, sin = _dft_matrix_f64(n, inverse)
     return cos.astype(np.float32), sin.astype(np.float32)
+
+
+@lru_cache(maxsize=64)
+def _gauss_dft_matrices_np(
+        n: int, inverse: bool) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(cos, sin-cos, cos+sin) for the 3-matmul complex contraction.
+
+    Gauss's complex-multiplication trick applied at the matrix level: for
+    X = re + i*im and W = cos + i*sin,
+        k1 = (re + im) @ cos
+        k2 = re @ (sin - cos)
+        k3 = im @ (cos + sin)
+        Re(XW) = k1 - k3,  Im(XW) = k1 + k2
+    — three real MXU matmuls instead of four (25% of the MACs saved on every
+    complex-input axis). The combined matrices are formed in float64 so the
+    cancellation in (sin - cos) costs no accuracy.
+    """
+    cos, sin = _dft_matrix_f64(n, inverse)
+    return (cos.astype(np.float32),
+            (sin - cos).astype(np.float32),
+            (cos + sin).astype(np.float32))
 
 
 def _mm(a: Array, b: Array, precision) -> Array:
@@ -68,24 +96,24 @@ def _mm(a: Array, b: Array, precision) -> Array:
 
 def _axis_dft(re: Array, im: Optional[Array], axis: int, inverse: bool,
               precision=jax.lax.Precision.HIGHEST) -> Tuple[Array, Array]:
-    """Apply a 1-axis DFT via two (or four) real matmuls on the MXU."""
+    """Apply a 1-axis DFT via two (real input) or three (complex input —
+    Gauss's trick, see :func:`_gauss_dft_matrices_np`) real matmuls."""
     n = re.shape[axis]
-    cos, sin = _dft_matrix_np(n, inverse)
-    cos = jnp.asarray(cos)
-    sin = jnp.asarray(sin)
-
     re_m = jnp.moveaxis(re, axis, -1)
 
     def mm(a, b):
-        return _mm(a, b, precision)
+        return _mm(a, jnp.asarray(b), precision)
 
     if im is None:  # real input: (re + 0i) @ (cos + i sin)
+        cos, sin = _dft_matrix_np(n, inverse)
         out_re = mm(re_m, cos)
         out_im = mm(re_m, sin)
     else:
+        cos, sin_m_cos, cos_p_sin = _gauss_dft_matrices_np(n, inverse)
         im_m = jnp.moveaxis(im, axis, -1)
-        out_re = mm(re_m, cos) - mm(im_m, sin)
-        out_im = mm(re_m, sin) + mm(im_m, cos)
+        k1 = mm(re_m + im_m, cos)
+        out_re = k1 - mm(im_m, cos_p_sin)
+        out_im = k1 + mm(re_m, sin_m_cos)
     return jnp.moveaxis(out_re, -1, axis), jnp.moveaxis(out_im, -1, axis)
 
 
@@ -236,12 +264,14 @@ def use_matmul_dft(spatial: Sequence[int]) -> bool:
 # ---------------------------------------------------------------------------
 # Hybrid per-axis backend: XLA FFT for 2/3/5-smooth axis lengths, matmul-DFT
 # for the rest. Measured on the BraTS grid (240, 240, 155): 240 = 2^4*3*5 is
-# FFT-friendly (XLA fft2 over the innermost 240x240 plane beats the matmul
-# pair), while 155 = 5*31 falls into Bluestein territory (XLA rfft 8.5 ms vs
-# ~1.3 ms for the half matmul). The DCE-proof roundtrip comparison is in
-# BENCHMARKS.md. XLA's TPU FFT only operates on innermost axes, so smooth
-# axes are transposed innermost and back — the transpose cost is included in
-# the measured win.
+# FFT-friendly (XLA fft2 over the innermost 240x240 plane beats the naive
+# 4-matmul pair), while 155 = 5*31 falls into Bluestein territory (XLA rfft
+# 8.5 ms vs ~1.3 ms for the half matmul). XLA's TPU FFT only operates on
+# innermost axes, so smooth axes are transposed innermost and back — the
+# transpose cost is included in the measurement. NOTE: once complex axes
+# gained Gauss's 3-matmul contraction, the all-matmul backend overtook the
+# hybrid even on fully smooth shapes (BENCHMARKS.md config 8), so "auto"
+# now resolves to "dft"; the hybrid stays as the measured alternative.
 # ---------------------------------------------------------------------------
 
 

@@ -89,14 +89,15 @@ class StylizeConfig:
     # Image-domain salt & pepper
     sap_p: Optional[ParamSpec] = None
     sap_prob: float = 1.0
-    # Fourier backend: "auto" (the default — the per-axis "hybrid" on
-    # accelerators when every spatial dim fits the MXU bound, jnp.fft
-    # otherwise/on CPU), "hybrid" (XLA FFT for 2/3/5-smooth axis lengths,
-    # matmul-DFT on the MXU for the rest — f32-accurate, the measured
-    # fastest on the BraTS grid; BENCHMARKS.md), "xla" (jnp.fft,
-    # mixed-radix/Bluestein on the VPU), "dft" (all-axis matmul-DFT at
-    # Precision.HIGHEST), or "dft_fast" (single-pass bf16 matmuls, f32
-    # accumulation — fastest all-matmul mode at ~9e-3 relative error).
+    # Fourier backend: "auto" (the default — "dft" on accelerators when
+    # every spatial dim fits the MXU bound, jnp.fft otherwise/on CPU),
+    # "dft" (all-axis matmul-DFT at Precision.HIGHEST with Gauss's
+    # 3-matmul complex contraction — f32-accurate, the measured fastest
+    # on every production shape; BENCHMARKS.md config 8), "hybrid" (XLA
+    # FFT for 2/3/5-smooth axis lengths, matmul-DFT for the rest), "xla"
+    # (jnp.fft, mixed-radix/Bluestein on the VPU), or "dft_fast"
+    # (single-pass bf16 matmuls, f32 accumulation — fastest mode at
+    # ~1e-2 relative error).
     fft_backend: str = "auto"
 
     @property
@@ -171,15 +172,17 @@ def _raw_dist_sq(spatial, center_shift: Tuple[float, ...],
 def _resolve_backend(backend: str, spatial) -> str:
     """Resolve ``StylizeConfig.fft_backend`` to a concrete backend.
 
-    ``"auto"`` picks the per-axis ``"hybrid"`` (XLA FFT for 2/3/5-smooth
-    axis lengths, MXU matmul-DFT at Precision.HIGHEST for Bluestein-hostile
-    ones — ~1e-6 relative to jnp.fft, the measured fastest on the BraTS
-    grid; BENCHMARKS.md config 8) whenever the default backend is an
-    accelerator and every spatial dim fits the MXU-friendly bound; on CPU —
-    where the O(n) extra MACs are real time and tests want bit-parity with
-    numpy's FFT — and for oversized axes it stays on ``jnp.fft``.
-    Resolution happens at trace time, so each jitted program is pinned to
-    one backend.
+    ``"auto"`` picks the all-axis MXU matmul-DFT (``"dft"``, Precision.HIGHEST
+    — ~2e-7 relative to jnp.fft) whenever the default backend is an
+    accelerator and every spatial dim fits the MXU-friendly bound. With
+    Gauss's 3-matmul complex contraction (ops/dft.py) it is the measured
+    fastest backend even on fully 2/3/5-smooth shapes where XLA's FFT is at
+    its best (BENCHMARKS.md config 8: 21.8 vs hybrid 23.6 vs XLA 37.8
+    ms/batch on the 240x240x155 headline; 1.57 vs 2.30 at 128x128x64; 0.14
+    vs 0.29 on the 2D 240x240 suite). On CPU — where the O(n) extra MACs
+    are real time and tests want bit-parity with numpy's FFT — and for
+    oversized axes it stays on ``jnp.fft``. Resolution happens at trace
+    time, so each jitted program is pinned to one backend.
     """
     if backend != "auto":
         if backend not in ("xla", "dft", "dft_fast", "hybrid"):
@@ -188,7 +191,7 @@ def _resolve_backend(backend: str, spatial) -> str:
     from mvtb_tpu.ops.dft import use_matmul_dft
 
     if jax.default_backend() != "cpu" and use_matmul_dft(spatial):
-        return "hybrid"
+        return "dft"
     return "xla"
 
 
