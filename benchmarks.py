@@ -442,6 +442,13 @@ def main():
         " shapes (1.57 vs 2.30 ms at 128x128x64 b4; 0.14 vs 0.29 ms on the"
         " 2D 240x240 b32 suite). The half-spectrum rDFT is 0.44x the MACs"
         " of the full complex transform (ops/dft.py:rdft_nd).",
+        "- **Matmul precision sweep** (full-spectrum rdft roundtrip at the"
+        " headline shape): HIGHEST 23.6 ms at 2.5e-7, HIGH (3-pass bf16)"
+        " 22.4 ms at 6.3e-5, DEFAULT (1-pass bf16) 20.3 ms at 8.3e-3. An"
+        " 8x matmul-throughput change moves the wall clock only ~14% — the"
+        " transform chain is glue/HBM-bound after the Gauss trick, so HIGH"
+        " was rejected (5% for 250x the error) and further MAC-count"
+        " tricks (radix-2 matrix splitting) were not pursued.",
         "- **Buffer donation**: all train steps donate their state"
         " (in-place optimizer updates); config 4 reflects the donating step.",
     ]
