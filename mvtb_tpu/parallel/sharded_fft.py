@@ -34,11 +34,41 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mvtb_tpu.ops.fused import StylizeConfig, _gate, _sample, _to_raw_index
+from mvtb_tpu.ops.fused import (StylizeConfig, _gate, _resolve_backend,
+                                _sample, _to_raw_index)
 from mvtb_tpu.ops.fourier import from_polar
 from mvtb_tpu.ops.masks import ellipsoid_shell_mask
 
 Array = jnp.ndarray
+
+
+def _local_transforms(cfg: StylizeConfig, spatial):
+    """(fwd, inv, inv_real) local-block transform callables, each taking
+    ``(array, axes)`` — resolved through the same backend logic as the
+    single-chip path (``StylizeConfig.fft_backend``), so the matmul-DFT
+    accelerator default applies to the per-shard transforms too. ``hybrid``
+    falls back to per-axis hybrid functions; anything else that is not
+    matmul-backed uses ``jnp.fft``.
+    """
+    backend = _resolve_backend(cfg.fft_backend, spatial)
+    if backend in ("dft", "dft_fast"):
+        from mvtb_tpu.ops import dft as _dft
+
+        prec = (jax.lax.Precision.DEFAULT if backend == "dft_fast"
+                else jax.lax.Precision.HIGHEST)
+        return (lambda a, axes: _dft.dft_nd(a, axes, precision=prec),
+                lambda a, axes: _dft.idft_nd(a, axes, precision=prec),
+                lambda a, axes: _dft.idft_nd_real(a, axes, precision=prec))
+    if backend == "hybrid":
+        from mvtb_tpu.ops import dft as _dft
+
+        return (lambda a, axes: _dft.hybrid_dft_nd(a, axes),
+                lambda a, axes: jnp.conj(_dft.hybrid_dft_nd(
+                    jnp.conj(a), axes)) / math.prod(a.shape[x] for x in axes),
+                lambda a, axes: _dft.hybrid_idft_nd_real(a, axes))
+    return (lambda a, axes: jnp.fft.fftn(a, axes=axes),
+            lambda a, axes: jnp.fft.ifftn(a, axes=axes),
+            lambda a, axes: jnp.fft.ifftn(a, axes=axes).real)
 
 
 def _global_offset(n_global: int, start, local_shape, axis: int,
@@ -73,6 +103,7 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
         raise ValueError(f"H={H} and W={W} must divide mesh size {n_shards}")
     rdtype = jnp.zeros((), x.dtype).real.dtype
     spatial = (H, W, D)
+    fwd_t, inv_t, inv_real_t = _local_transforms(cfg, spatial)
 
     def local_fn(xl: Array, key) -> Array:
         idx = jax.lax.axis_index(axis_name)
@@ -85,10 +116,10 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
         out = xl
         if cfg.kspace_needed:
             # 1) local FFT over (W, D); 2) trade H<->W; 3) FFT over H
-            k = jnp.fft.fftn(xl, axes=(-2, -1))
+            k = fwd_t(xl, (-2, -1))
             k = jax.lax.all_to_all(k, axis_name, split_axis=2, concat_axis=1,
                                    tiled=True)
-            k = jnp.fft.fft(k, axis=1)
+            k = fwd_t(k, (1,))
 
             def dist_sq(center_deltas):
                 total = jnp.zeros(local_shape, jnp.float32)
@@ -227,10 +258,10 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                         jnp.full((C,), g))
 
             # ---- inverse: H, trade back, (W, D) ----
-            k = jnp.fft.ifft(k, axis=1)
+            k = inv_t(k, (1,))
             k = jax.lax.all_to_all(k, axis_name, split_axis=1, concat_axis=2,
                                    tiled=True)
-            out = jnp.fft.ifftn(k, axes=(-2, -1)).real.astype(x.dtype)
+            out = inv_real_t(k, (-2, -1)).astype(x.dtype)
 
         # ---- salt & pepper with global extrema ----
         if cfg.sap_p is not None:

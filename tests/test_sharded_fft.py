@@ -48,6 +48,24 @@ def test_sharded_matches_single_chip(cfg):
     assert len(got.sharding.device_set) == 8
 
 
+@pytest.mark.parametrize("backend", ["dft", "hybrid"])
+def test_sharded_matmul_backends_match_single_chip(backend):
+    """The per-shard transforms route through the same backend resolver as
+    the single-chip path (on accelerators "auto" is the matmul-DFT, which
+    also sidesteps the TPU FFT innermost-axis restriction for the axis-1
+    inverse). Forced here since CPU's auto is jnp.fft."""
+    x = _x(4)
+    mesh = make_mesh()
+    cfg = StylizeConfig(disk_r=6.0, wrap_alpha=0.5,
+                        plane_axes=(6.0, 8.0, 4.0), plane_intensity=10.0,
+                        fft_backend=backend)
+    got = stylize_kspace_sharded(x, jax.random.key(2), cfg, mesh)
+    want = stylize_kspace(x, jax.random.key(2), cfg)
+    scale = max(1.0, float(jnp.abs(want).max()))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4 * scale, rtol=2e-4)
+
+
 def test_sharded_sap_distribution():
     mesh = make_mesh()
     x = _x()
