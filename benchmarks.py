@@ -438,17 +438,20 @@ def main():
         " MACs than the naive 4 — ops/dft.py:_gauss_dft_matrices_np); that"
         " is what put the f32-accurate all-matmul backend ahead of the"
         " hybrid and made it the accelerator 'auto' default"
-        " (StylizeConfig.fft_backend) — it also wins on fully 2/3/5-smooth"
-        " shapes (1.57 vs 2.30 ms at 128x128x64 b4; 0.14 vs 0.29 ms on the"
-        " 2D 240x240 b32 suite). The half-spectrum rDFT is 0.44x the MACs"
-        " of the full complex transform (ops/dft.py:rdft_nd).",
-        "- **Matmul precision sweep** (full-spectrum rdft roundtrip at the"
-        " headline shape): HIGHEST 23.6 ms at 2.5e-7, HIGH (3-pass bf16)"
-        " 22.4 ms at 6.3e-5, DEFAULT (1-pass bf16) 20.3 ms at 8.3e-3. An"
-        " 8x matmul-throughput change moves the wall clock only ~14% — the"
-        " transform chain is glue/HBM-bound after the Gauss trick, so HIGH"
-        " was rejected (5% for 250x the error) and further MAC-count"
-        " tricks (radix-2 matrix splitting) were not pursued.",
+        " (StylizeConfig.fft_backend) — it also won one-off dft-vs-xla"
+        " checks on fully 2/3/5-smooth shapes (1.57 vs 2.30 ms at"
+        " 128x128x64 b4; 0.14 vs 0.29 ms on the 2D 240x240 b32 suite;"
+        " 2026-08-19, not regenerated by this script). The half-spectrum"
+        " rDFT is 0.44x the MACs of the full complex transform"
+        " (ops/dft.py:rdft_nd).",
+        "- **Matmul precision sweep** (one-off, 2026-08-19; full-spectrum"
+        " rdft roundtrip at the headline shape): HIGHEST 23.6 ms at 2.5e-7,"
+        " HIGH (3-pass bf16) 22.4 ms at 6.3e-5, DEFAULT (1-pass bf16)"
+        " 20.3 ms at 8.3e-3. An 8x matmul-throughput change moves the wall"
+        " clock only ~14% — the transform chain is glue/HBM-bound after the"
+        " Gauss trick, so HIGH was rejected (5% for 250x the error) and"
+        " further MAC-count tricks (radix-2 matrix splitting) were not"
+        " pursued.",
         "- **Buffer donation**: all train steps donate their state"
         " (in-place optimizer updates); config 4 reflects the donating step.",
     ]

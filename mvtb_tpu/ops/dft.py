@@ -12,10 +12,11 @@ wins by a wide margin for n up to a few thousand.
 mirror ``rfftn`` / ``irfftn`` on the half spectrum (0.44x the MACs at BraTS
 size). Complex arithmetic is expressed as real matmuls so the MXU sees plain
 GEMMs — complex-input axes use Gauss's 3-matmul trick (25% fewer MACs than
-the naive 4; see ``_gauss_dft_matrices_np``). Every function takes a ``precision``: the default ``HIGHEST`` keeps
-~1e-6 relative accuracy; ``DEFAULT`` drops to single-pass bf16 inputs with
-f32 accumulation (~1e-3 relative — the ``StylizeConfig.fft_backend="dft_fast"``
-augmentation mode; measured numbers in BENCHMARKS.md).
+the naive 4; see ``_gauss_dft_matrices_np``). Every function takes a
+``precision``: the default ``HIGHEST`` keeps ~1e-6 relative accuracy;
+``DEFAULT`` drops to single-pass bf16 inputs with f32 accumulation (~1e-2
+relative — the ``StylizeConfig.fft_backend="dft_fast"`` augmentation mode;
+measured numbers in BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -82,7 +83,7 @@ def _mm(a: Array, b: Array, precision) -> Array:
 
     ``precision`` selects the TPU matmul pass structure: ``HIGHEST`` is
     f32-accurate (the parity default), ``DEFAULT`` is a single bf16 pass —
-    ~8x the MXU throughput at ~1e-3 relative error (measured; see
+    ~8x the MXU throughput at ~1e-2 relative error (measured; see
     BENCHMARKS.md). Accumulation is always f32.
     """
     if precision in (jax.lax.Precision.DEFAULT, "default"):
@@ -152,7 +153,8 @@ def idft_nd_real(x: Array, axes: Sequence[int],
     """Inverse n-D DFT keeping only the real part.
 
     Skips computing the imaginary output of the *last* axis transform
-    entirely — a 25% matmul saving over ``idft_nd(...).real``.
+    entirely — that axis costs 2 matmuls instead of the Gauss complex
+    contraction's 3 (it was a 25% saving when complex axes cost 4).
     """
     axes = [a % x.ndim for a in axes]
     if jnp.iscomplexobj(x):
@@ -377,13 +379,32 @@ def hybrid_dft_nd(x: Array, axes: Sequence[int],
     return jax.lax.complex(re, im)
 
 
+def hybrid_idft_nd(x: Array, axes: Sequence[int],
+                   precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Inverse n-D DFT (complex output, norm='backward') with the per-axis
+    hybrid backend — the ``jnp.fft.ifftn(x, axes=axes)`` contract."""
+    axes = [a % x.ndim for a in axes]
+    smooth, mat = _split_smooth(x, axes)
+    if jnp.iscomplexobj(x):
+        re, im = x.real, x.imag
+    else:
+        re, im = x.astype(jnp.float32), None
+    if smooth:
+        re, im = _xla_fft_axes(re, im, smooth, inverse=True)
+    for a in mat:
+        re, im = _axis_dft(re, im, a, inverse=True, precision=precision)
+    if im is None:
+        im = jnp.zeros_like(re)
+    return jax.lax.complex(re, im)
+
+
 def hybrid_idft_nd_real(x: Array, axes: Sequence[int],
                         precision=jax.lax.Precision.HIGHEST) -> Array:
     """Inverse n-D DFT (real part only) with the per-axis hybrid backend.
 
     When at least one axis is matmul-backed, its inverse runs last so the
     imaginary output of the final contraction is never computed (the same
-    25% saving as :func:`idft_nd_real`).
+    2-instead-of-3-matmul saving as :func:`idft_nd_real`).
     """
     axes = [a % x.ndim for a in axes]
     smooth, mat = _split_smooth(x, axes)

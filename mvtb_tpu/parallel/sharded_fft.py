@@ -46,29 +46,42 @@ def _local_transforms(cfg: StylizeConfig, spatial):
     """(fwd, inv, inv_real) local-block transform callables, each taking
     ``(array, axes)`` — resolved through the same backend logic as the
     single-chip path (``StylizeConfig.fft_backend``), so the matmul-DFT
-    accelerator default applies to the per-shard transforms too. ``hybrid``
-    falls back to per-axis hybrid functions; anything else that is not
-    matmul-backed uses ``jnp.fft``.
+    accelerator default applies to the per-shard transforms too. The
+    ``xla`` fallback goes through :func:`mvtb_tpu.ops.dft._xla_fft_axes`,
+    which transposes the requested axes innermost — the H-axis transform
+    after the all_to_all trade is axis 1, and a direct ``jnp.fft`` there is
+    UNIMPLEMENTED on the TPU backend (innermost axes only).
     """
+    from mvtb_tpu.ops import dft as _dft
+
     backend = _resolve_backend(cfg.fft_backend, spatial)
     if backend in ("dft", "dft_fast"):
-        from mvtb_tpu.ops import dft as _dft
-
         prec = (jax.lax.Precision.DEFAULT if backend == "dft_fast"
                 else jax.lax.Precision.HIGHEST)
         return (lambda a, axes: _dft.dft_nd(a, axes, precision=prec),
                 lambda a, axes: _dft.idft_nd(a, axes, precision=prec),
                 lambda a, axes: _dft.idft_nd_real(a, axes, precision=prec))
     if backend == "hybrid":
-        from mvtb_tpu.ops import dft as _dft
-
         return (lambda a, axes: _dft.hybrid_dft_nd(a, axes),
-                lambda a, axes: jnp.conj(_dft.hybrid_dft_nd(
-                    jnp.conj(a), axes)) / math.prod(a.shape[x] for x in axes),
+                lambda a, axes: _dft.hybrid_idft_nd(a, axes),
                 lambda a, axes: _dft.hybrid_idft_nd_real(a, axes))
-    return (lambda a, axes: jnp.fft.fftn(a, axes=axes),
-            lambda a, axes: jnp.fft.ifftn(a, axes=axes),
-            lambda a, axes: jnp.fft.ifftn(a, axes=axes).real)
+
+    def _parts(a):
+        if jnp.iscomplexobj(a):
+            return a.real, a.imag
+        return a.astype(jnp.float32), None
+
+    def _fwd(a, axes):
+        re, im = _dft._xla_fft_axes(*_parts(a), axes, inverse=False)
+        return jax.lax.complex(re, im)
+
+    def _inv(a, axes):
+        re, im = _dft._xla_fft_axes(*_parts(a), axes, inverse=True)
+        return jax.lax.complex(re, im)
+
+    return (_fwd, _inv,
+            lambda a, axes: _dft._xla_fft_axes(*_parts(a), axes,
+                                               inverse=True)[0])
 
 
 def _global_offset(n_global: int, start, local_shape, axis: int,
