@@ -452,6 +452,22 @@ def main():
         " Gauss trick, so HIGH was rejected (5% for 250x the error) and"
         " further MAC-count tricks (radix-2 matrix splitting) were not"
         " pursued.",
+        "- **Pallas per-axis DFT kernels** (one-off, 2026-08-19;"
+        " ops/pallas_dft.py, `fft_backend=\"dft_pallas\"`): each axis step"
+        " fuses the full Gauss 3-matmul contraction into one VMEM pass"
+        " (2 reads + 2 writes vs XLA's ~6+3). XLA still wins: c2c axis step"
+        " at the 4ch half grid 1.04 ms (XLA HIGHEST) vs 1.75 ms (kernel,"
+        " single-pass bf16) — a pure in->out Pallas COPY already costs"
+        " 1.31 ms. Probe result: the Pallas DMA pipeline on this runtime"
+        " moves ~400 GB/s regardless of block size, `dimension_semantics`,"
+        " or tile contiguity, while XLA's fusions run at ~860 GB/s"
+        " (read-only roofline measured 861 GB/s) — the same 2.6x deficit"
+        " the round-1 salt&pepper kernel hit. Conclusion recorded: per-axis"
+        " kernels cannot win here; only a kernel cutting HBM traffic by"
+        " MORE than the bandwidth deficit can (see the fused plane kernel"
+        " below). Mosaic side-findings: native-f32 dots lower ~2.2x slower"
+        " than XLA's f32 (use in-kernel bf16x3 for the HIGH tier), and"
+        " bf16 operands reject a precision override.",
         "- **Buffer donation**: all train steps donate their state"
         " (in-place optimizer updates); config 4 reflects the donating step.",
     ]

@@ -95,9 +95,11 @@ class StylizeConfig:
     # 3-matmul complex contraction — f32-accurate, the measured fastest
     # on every production shape; BENCHMARKS.md config 8), "hybrid" (XLA
     # FFT for 2/3/5-smooth axis lengths, matmul-DFT for the rest), "xla"
-    # (jnp.fft, mixed-radix/Bluestein on the VPU), or "dft_fast"
+    # (jnp.fft, mixed-radix/Bluestein on the VPU), "dft_fast"
     # (single-pass bf16 matmuls, f32 accumulation — fastest mode at
-    # ~1e-2 relative error).
+    # ~1e-2 relative error), or "dft_pallas" (the same matmul-DFT chain
+    # as "dft" run through fused Pallas axis kernels — one VMEM pass per
+    # axis; measured vs "dft" in BENCHMARKS.md).
     fft_backend: str = "auto"
 
     @property
@@ -185,7 +187,7 @@ def _resolve_backend(backend: str, spatial) -> str:
     time, so each jitted program is pinned to one backend.
     """
     if backend != "auto":
-        if backend not in ("xla", "dft", "dft_fast", "hybrid"):
+        if backend not in ("xla", "dft", "dft_fast", "hybrid", "dft_pallas"):
             raise ValueError(f"unknown fft_backend {backend!r}")
         return backend
     from mvtb_tpu.ops.dft import use_matmul_dft
@@ -309,6 +311,20 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
         inv_r = partial(_dft.hybrid_irdft_nd_real, precision=prec)
         fwd_c = partial(_dft.hybrid_dft_nd, precision=prec)
         inv_c_real = partial(_dft.hybrid_idft_nd_real, precision=prec)
+    elif backend == "dft_pallas":
+        from mvtb_tpu.ops import pallas_dft as _pdft
+
+        # interpret mode on CPU so the same config traces everywhere;
+        # compiled Mosaic kernels on accelerators. HIGH = in-kernel bf16x3
+        # (~1e-5 relative) — Mosaic's native-f32 dot is ~3x slower than
+        # XLA's, so the kernel matches XLA's MXU cost this way (measured,
+        # BENCHMARKS.md).
+        kw = dict(precision=jax.lax.Precision.HIGH,
+                  interpret=jax.default_backend() == "cpu")
+        fwd_r = partial(_pdft.rdft_nd, **kw)
+        inv_r = partial(_pdft.irdft_nd_real, **kw)
+        fwd_c = partial(_pdft.dft_nd, **kw)
+        inv_c_real = partial(_pdft.idft_nd_real, **kw)
     else:
         from mvtb_tpu.ops import dft as _dft
 
