@@ -258,6 +258,37 @@ def irdft_nd_real(x: Array, s: Sequence[int], axes: Sequence[int],
     return jnp.moveaxis(out, -1, last)
 
 
+def half_dft_axis(x: Array, axis: int,
+                  precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Real-input half-spectrum DFT over ONE arbitrary axis.
+
+    Same contract as ``jnp.fft.rfft(x, axis=axis)``. Used by the fused
+    plane-kernel path (ops/fused_plane.py), which keeps its half spectrum on
+    the H axis so the (W, D) plane stays in the trailing — contiguous —
+    dimensions for the Pallas kernel's DMA.
+    """
+    axis = axis % x.ndim
+    n = x.shape[axis]
+    cos, sin = _half_dft_matrix_np(n)
+    x_m = jnp.moveaxis(x.astype(jnp.float32), axis, -1)
+    re = jnp.moveaxis(_mm(x_m, jnp.asarray(cos), precision), -1, axis)
+    im = jnp.moveaxis(_mm(x_m, jnp.asarray(sin), precision), -1, axis)
+    return jax.lax.complex(re, im)
+
+
+def half_idft_axis_real(x: Array, n: int, axis: int,
+                        precision=jax.lax.Precision.HIGHEST) -> Array:
+    """Hermitian half spectrum on ONE axis -> real volume (the
+    ``jnp.fft.irfft(x, n=n, axis=axis)`` contract)."""
+    axis = axis % x.ndim
+    cosT, sinT = _half_idft_matrix_np(n)
+    re_m = jnp.moveaxis(x.real, axis, -1)
+    im_m = jnp.moveaxis(x.imag, axis, -1)
+    out = (_mm(re_m, jnp.asarray(cosT), precision)
+           - _mm(im_m, jnp.asarray(sinT), precision))
+    return jnp.moveaxis(out, -1, axis)
+
+
 def use_matmul_dft(spatial: Sequence[int]) -> bool:
     """Heuristic: matmul DFT for every axis within the MXU-friendly bound."""
     return all(n <= MATMUL_DFT_MAX_N for n in spatial)

@@ -187,7 +187,8 @@ def _resolve_backend(backend: str, spatial) -> str:
     time, so each jitted program is pinned to one backend.
     """
     if backend != "auto":
-        if backend not in ("xla", "dft", "dft_fast", "hybrid", "dft_pallas"):
+        if backend not in ("xla", "dft", "dft_fast", "hybrid", "dft_pallas",
+                           "plane", "plane_fast"):
             raise ValueError(f"unknown fft_backend {backend!r}")
         return backend
     from mvtb_tpu.ops.dft import use_matmul_dft
@@ -299,6 +300,14 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
     ks = stage_keys(key, cfg)
 
     backend = _resolve_backend(cfg.fft_backend, spatial)
+    if backend in ("plane", "plane_fast"):
+        # fused Pallas plane kernel: fwd (W,D) DFT + weights + point writes
+        # + inverse in ONE VMEM pass per (channel, half-H) slab
+        from mvtb_tpu.ops import fused_plane as _fp
+
+        if _fp.plane_kernel_eligible(cfg, spatial):
+            return _fp.stylize_kspace_plane(x, key, cfg)
+        backend = "dft_fast" if backend == "plane_fast" else "dft"
     if backend == "xla":
         fwd_r, inv_r = jnp.fft.rfftn, jnp.fft.irfftn
         fwd_c = jnp.fft.fftn
@@ -698,19 +707,25 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 # grid through a masked sum whose (+0) filler canonicalizes
                 # any -0 ((-0) + (+0) = +0) — and jnp.angle(-0+0j) is pi,
                 # not 0, so the written value's sign would flip at
-                # weight-zeroed points. Adding czero reproduces the masked
-                # sum's canonicalization bit-exactly (and is the same fix
-                # the sharded point update carries).
+                # weight-zeroed points. ``+ czero`` is NOT enough: the TPU
+                # compile pipeline (--xla_allow_excess_precision) folds the
+                # constant-zero add away and the -0 survives — caught by the
+                # plane-kernel parity drive, which pinned phase 0 while the
+                # compiled dft path wrote -|w| at a disk-zeroed spike point.
+                # A select on ==0 cannot be simplified away and leaves every
+                # nonzero bit pattern untouched.
+                def canon_zero(z):
+                    return jnp.where(z == czero, czero, z)
                 if use_rfft:
                     delta_s = delta_p = None
                     if spike_args is not None:
-                        read_s = read_s_raw * weight_at(locs_s) + czero
+                        read_s = canon_zero(read_s_raw * weight_at(locs_s))
                         old_s = jnp.where(in_half_s, read_s,
                                           jnp.conj(read_s))
                         delta_s = rfft_delta(old_s, locs_s, in_half_s,
                                              spike_args[1], spike_args[2])
                     if plane_args is not None:
-                        read_p = read_p_raw * weight_at(locs_p) + czero
+                        read_p = canon_zero(read_p_raw * weight_at(locs_p))
                         if coll is not None:
                             # plane reads the post-spike spectrum: add the
                             # spike's (gated) delta where the canonical
@@ -730,7 +745,7 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                 else:
                     new_s = None
                     if spike_args is not None:
-                        read_s = read_s_raw * weight_at(locs_s) + czero
+                        read_s = canon_zero(read_s_raw * weight_at(locs_s))
                         new_s = from_polar(spike_args[1].astype(rdtype),
                                            jnp.angle(read_s))
                     kw = kw_view
@@ -738,7 +753,7 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
                         kw = jnp.where(pos_s & spike_args[2][cdim],
                                        new_s[cdim], kw)
                     if plane_args is not None:
-                        read_p = read_p_raw * weight_at(locs_p) + czero
+                        read_p = canon_zero(read_p_raw * weight_at(locs_p))
                         if coll is not None:
                             # set semantics: a gated spike write at the same
                             # point is what the plane would read back

@@ -55,6 +55,11 @@ def _local_transforms(cfg: StylizeConfig, spatial):
     from mvtb_tpu.ops import dft as _dft
 
     backend = _resolve_backend(cfg.fft_backend, spatial)
+    if backend in ("plane", "plane_fast", "dft_pallas"):
+        # the fused plane kernel is a single-chip program (and the per-axis
+        # Pallas kernels are a measured-slower template); per-shard local
+        # transforms use the equivalent matmul-DFT tier
+        backend = "dft_fast" if backend == "plane_fast" else "dft"
     if backend in ("dft", "dft_fast"):
         prec = (jax.lax.Precision.DEFAULT if backend == "dft_fast"
                 else jax.lax.Precision.HIGHEST)
