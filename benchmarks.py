@@ -307,20 +307,22 @@ def config8():
            "unit": "volumes/sec"}
     for tag, backend in [("xla_ms", "xla"), ("dft_ms", "dft"),
                          ("dft_fast_ms", "dft_fast"),
-                         ("hybrid_ms", "hybrid")]:
+                         ("hybrid_ms", "hybrid"),
+                         ("plane_ms", "plane"),
+                         ("plane_fast_ms", "plane_fast")]:
         cfg = StylizeConfig(**base, fft_backend=backend)
         out[tag] = loop_time(lambda v, i, c=cfg: stylize_batch(
             v, jax.random.fold_in(jax.random.key(0), i), c), x)
     key = jax.random.key(3)
     ref = stylize_batch(x, key, StylizeConfig(**base, fft_backend="xla"))
-    fast = stylize_batch(x, key, StylizeConfig(**base, fft_backend="dft_fast"))
-    out["dft_fast_rel_err"] = float(
-        jnp.abs(ref - fast).max() / jnp.abs(ref).max())
-    hyb = stylize_batch(x, key, StylizeConfig(**base, fft_backend="hybrid"))
-    out["hybrid_rel_err"] = float(
-        jnp.abs(ref - hyb).max() / jnp.abs(ref).max())
+    for tag, backend in [("dft_fast_rel_err", "dft_fast"),
+                         ("hybrid_rel_err", "hybrid"),
+                         ("plane_rel_err", "plane"),
+                         ("plane_fast_rel_err", "plane_fast")]:
+        got = stylize_batch(x, key, StylizeConfig(**base, fft_backend=backend))
+        out[tag] = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
     best = min(out["xla_ms"], out["dft_ms"], out["dft_fast_ms"],
-               out["hybrid_ms"])
+               out["hybrid_ms"], out["plane_ms"], out["plane_fast_ms"])
     out["ms_per_batch"] = best
     out["items_per_sec"] = B * 1e3 / best
     return out
@@ -468,6 +470,35 @@ def main():
         " below). Mosaic side-findings: native-f32 dots lower ~2.2x slower"
         " than XLA's f32 (use in-kernel bf16x3 for the HIGH tier), and"
         " bf16 operands reject a precision override.",
+        f"- **Fused plane kernel** (ops/fused_plane.py,"
+        " `fft_backend=\"plane\"/\"plane_fast\"`): the first Pallas kernel"
+        " here that beats XLA. It keeps the rfft half axis on H so each"
+        " (channel, half-H) grid tile is a contiguous (W, D) plane, and"
+        " runs forward W/D DFTs -> multiplicative weights (gibbs/disk/wrap,"
+        " iota-built in registers) -> spike/plane Hermitian point writes ->"
+        " inverse D/W DFTs in ONE VMEM pass — one HBM read + one write of"
+        " the spectrum where the XLA chain pays ~4 axis round trips plus"
+        " the weight/write sweeps. Headline config-3 stack on-chip:"
+        f" **{fb['plane_fast_ms']:.2f} ms/batch-4"
+        f" ({4e3 / fb['plane_fast_ms']:.1f} vol/s)** for `plane_fast`"
+        f" (single-pass bf16 dots, {fb['plane_fast_rel_err']:.1e} rel —"
+        " same error tier as the bf16 all-matmul DFT"
+        f" at {fb['dft_fast_ms']:.1f} ms) vs {fb['dft_ms']:.2f} ms for the"
+        f" f32-accurate `dft` default and {fb['plane_ms']:.2f} ms for"
+        " `plane` at bf16x3 (in-kernel HIGH costs 3x the MXU passes and"
+        " loses — Mosaic's native-f32 dots are slower still, see the"
+        " per-axis entry). The accuracy-first 'auto' default stays `dft`;"
+        " `plane_fast` is the opt-in fast tier. Batched calls fold the"
+        " batch into the channel grid axis via a custom_vmap rule (Mosaic"
+        " rejects vmap-blocked SMEM scalar specs). Parity vs the dft path:"
+        f" {fb['plane_rel_err']:.1e} (`plane`) on the full stacked config,"
+        " draws bit-identical by key-stream construction"
+        " (tests/test_fused_plane.py). Side find: the on-chip parity drive"
+        " exposed a latent signed-zero bug in the production dft path —"
+        " XLA TPU folds the documented `+ czero` canonicalization away"
+        " (`x+0 -> x` under excess precision), flipping written phase to"
+        " pi at weight-zeroed points; fixed with a fold-proof"
+        " `where(z == 0, 0, z)` select (ops/fused.py:canon_zero).",
         "- **Buffer donation**: all train steps donate their state"
         " (in-place optimizer updates); config 4 reflects the donating step.",
     ]

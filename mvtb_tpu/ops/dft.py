@@ -224,12 +224,8 @@ def rdft_nd(x: Array, axes: Sequence[int],
     BraTS size.
     """
     axes = [a % x.ndim for a in axes]
-    last = axes[-1]
-    n = x.shape[last]
-    cos, sin = _half_dft_matrix_np(n)
-    x_m = jnp.moveaxis(x.astype(jnp.float32), last, -1)
-    re = jnp.moveaxis(_mm(x_m, jnp.asarray(cos), precision), -1, last)
-    im = jnp.moveaxis(_mm(x_m, jnp.asarray(sin), precision), -1, last)
+    k = half_dft_axis(x, axes[-1], precision)
+    re, im = k.real, k.imag
     for axis in axes[:-1]:
         re, im = _axis_dft(re, im, axis, inverse=False, precision=precision)
     return jax.lax.complex(re, im)
@@ -248,14 +244,8 @@ def irdft_nd_real(x: Array, s: Sequence[int], axes: Sequence[int],
     re, im = x.real, x.imag
     for axis in axes[:-1]:
         re, im = _axis_dft(re, im, axis, inverse=True, precision=precision)
-    last = axes[-1]
-    n = int(s[-1])
-    cosT, sinT = _half_idft_matrix_np(n)
-    re_m = jnp.moveaxis(re, last, -1)
-    im_m = jnp.moveaxis(im, last, -1)
-    out = (_mm(re_m, jnp.asarray(cosT), precision)
-           - _mm(im_m, jnp.asarray(sinT), precision))
-    return jnp.moveaxis(out, -1, last)
+    return half_idft_axis_real(jax.lax.complex(re, im), int(s[-1]),
+                               axes[-1], precision)
 
 
 def half_dft_axis(x: Array, axis: int,

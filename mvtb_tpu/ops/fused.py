@@ -99,7 +99,12 @@ class StylizeConfig:
     # (single-pass bf16 matmuls, f32 accumulation — fastest mode at
     # ~1e-2 relative error), or "dft_pallas" (the same matmul-DFT chain
     # as "dft" run through fused Pallas axis kernels — one VMEM pass per
-    # axis; measured vs "dft" in BENCHMARKS.md).
+    # axis; measured vs "dft" in BENCHMARKS.md), or "plane"/"plane_fast"
+    # (the fused Pallas plane kernel, ops/fused_plane.py: the whole
+    # k-space stack in one VMEM pass per (channel, half-H) plane;
+    # "plane_fast" = single-pass bf16 dots, the measured-fastest backend
+    # at ~1e-2 relative error; ineligible configs fall back to
+    # "dft"/"dft_fast").
     fft_backend: str = "auto"
 
     @property
@@ -297,17 +302,19 @@ def stylize_kspace(x: Array, key: jax.Array, cfg: StylizeConfig) -> Array:
     C = x.shape[0]
     rdtype = jnp.zeros((), x.dtype).real.dtype
     axes = tuple(range(-nd, 0))
-    ks = stage_keys(key, cfg)
 
     backend = _resolve_backend(cfg.fft_backend, spatial)
     if backend in ("plane", "plane_fast"):
         # fused Pallas plane kernel: fwd (W,D) DFT + weights + point writes
-        # + inverse in ONE VMEM pass per (channel, half-H) slab
+        # + inverse in ONE VMEM pass per (channel, half-H) slab. Dispatched
+        # before stage_keys: the plane path derives the identical streams
+        # from the same key itself.
         from mvtb_tpu.ops import fused_plane as _fp
 
         if _fp.plane_kernel_eligible(cfg, spatial):
             return _fp.stylize_kspace_plane(x, key, cfg)
         backend = "dft_fast" if backend == "plane_fast" else "dft"
+    ks = stage_keys(key, cfg)
     if backend == "xla":
         fwd_r, inv_r = jnp.fft.rfftn, jnp.fft.irfftn
         fwd_c = jnp.fft.fftn

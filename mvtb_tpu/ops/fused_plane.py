@@ -43,15 +43,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mvtb_tpu.ops import dft as _dft
-from mvtb_tpu.ops.fourier import from_polar  # noqa: F401  (parity reference)
 from mvtb_tpu.ops.masks import ellipsoid_shell_mask
 from mvtb_tpu.ops.pallas_dft import _dot, _fast
 
 Array = jnp.ndarray
 
-# VMEM budget guard: tile is (W, D) f32 x 4 (re/im in/out, double-buffered)
-# plus 12 resident (n, n) matrices.
-_MAX_PLANE = 1 << 19  # W * D elements
+# VMEM budget for everything resident in the kernel, in bytes. v5e has
+# ~16 MiB VMEM per core; leave headroom for Mosaic's own scratch.
+_VMEM_BUDGET = 12 << 20
+
+
+def _plane_vmem_bytes(W: int, D: int) -> int:
+    """f32 bytes the kernel keeps resident: 12 (n, n) DFT matrices
+    (fwd/inv Gauss cos/cps/smc for W and D) + the 4 (W, D) re/im in/out
+    tiles, double-buffered by the pipeline."""
+    return 4 * (6 * W * W + 6 * D * D + 8 * W * D)
 
 
 def plane_kernel_eligible(cfg, spatial) -> bool:
@@ -63,7 +69,9 @@ def plane_kernel_eligible(cfg, spatial) -> bool:
     if cfg.spike and cfg.spike_range is None:
         return False  # data-dependent range needs a global log|k| mean
     H, W, D = spatial
-    if W * D > _MAX_PLANE or max(spatial) > _dft.MATMUL_DFT_MAX_N:
+    if _plane_vmem_bytes(W, D) > _VMEM_BUDGET:
+        return False
+    if max(spatial) > _dft.MATMUL_DFT_MAX_N:
         return False
     return True
 

@@ -113,6 +113,17 @@ def test_ineligible_configs_fall_back():
     assert np.isfinite(np.asarray(out2)).all()
 
 
+def test_vmem_guard_rejects_oversized_planes():
+    # 512x512 planes: 12 resident (n,n) f32 matrices (~12.6 MB) + the
+    # double-buffered tiles exceed VMEM — must fall back, not compile-crash
+    from mvtb_tpu.ops.fused_plane import _plane_vmem_bytes, _VMEM_BUDGET
+
+    cfg = StylizeConfig(disk_r=6.0)
+    assert _plane_vmem_bytes(512, 512) > _VMEM_BUDGET
+    assert not plane_kernel_eligible(cfg, (64, 512, 512))
+    assert plane_kernel_eligible(cfg, (240, 240, 155))  # headline stays in
+
+
 def test_plane_2d_falls_back():
     x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 12)
                     .astype(np.float32))
