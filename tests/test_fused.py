@@ -329,7 +329,11 @@ def test_masked_point_write_pins_phase_zero():
     and multiplies by the weight afterwards — ``raw * 0.0`` keeps raw's sign
     bits, and ``jnp.angle(-0+0j)`` is pi, which silently flipped the written
     value's sign (caught by the sharded-vs-single dryrun check). The fix
-    canonicalizes the weighted read with ``+ (0+0j)``.
+    canonicalizes the weighted read with a fold-proof ``where(z == 0, 0, z)``
+    select (ops/fused.py:canon_zero) — a plain ``+ (0+0j)`` is algebraically
+    identical but XLA TPU folds ``x + 0 -> x`` away under excess precision.
+    This CPU test cannot distinguish the two forms (CPU does not fold); it
+    pins the semantic contract the TPU dryrun enforces.
     """
     spatial = (48, 48, 24)
     x = np.zeros((1,) + spatial, np.float32)
