@@ -32,13 +32,16 @@ class BratsValIterDataset:
     def __init__(self, root_dir: str, cache_num: int = 0,
                  transforms: Optional[Dict] = None,
                  return_loader: bool = False,
-                 cache_dir: Optional[str] = None):
+                 cache_dir: Optional[str] = None,
+                 roi_size=(128, 128, 64), pixdim=(1.5, 1.5, 2.0)):
         self.root_dir = root_dir
         self.cache_num = cache_num
         self.transforms = transforms or {}
         self.return_loader = return_loader
         self.cache_dir = cache_dir
-        self.pipe = brats_val_pipeline()
+        # trailing kwargs beyond the reference signature: scale the base
+        # pipeline for rehearsal/test runs (reference defaults preserved)
+        self.pipe = brats_val_pipeline(roi_size=roi_size, pixdim=pixdim)
 
     def _build(self, transform):
         pipe = ReCompose(list(self.pipe.transforms))

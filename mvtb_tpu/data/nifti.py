@@ -78,6 +78,42 @@ def read_nifti(path: str, prefer_native: bool = True
     return np.asarray(data), affine
 
 
+_NIFTI_CODES = {np.dtype(v).name: k for k, v in _NIFTI_DTYPES.items()}
+
+
+def write_nifti(path: str, data: np.ndarray,
+                affine: Optional[np.ndarray] = None) -> None:
+    """Write a little-endian single-file NIfTI-1 volume (``.nii``/``.nii.gz``).
+
+    The inverse of :func:`read_nifti` (same header subset: dim, datatype,
+    vox_offset, scl_slope=1, srow affine); used to build synthetic on-disk
+    Decathlon trees for rehearsal runs and tests.
+    """
+    data = np.asarray(data)
+    code = _NIFTI_CODES.get(data.dtype.name)
+    if code is None:
+        data = data.astype(np.float32)
+        code = 16
+    if affine is None:
+        affine = np.eye(4)
+    header = bytearray(352)
+    struct.pack_into("<i", header, 0, 348)
+    dim = [data.ndim] + list(data.shape) + [1] * (7 - data.ndim)
+    struct.pack_into("<8h", header, 40, *dim)
+    struct.pack_into("<h", header, 70, code)
+    struct.pack_into("<h", header, 72, data.dtype.itemsize * 8)  # bitpix
+    struct.pack_into("<f", header, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", header, 112, 1.0)  # scl_slope
+    struct.pack_into("<h", header, 254, 1)  # sform_code
+    struct.pack_into("<4f", header, 280, *np.asarray(affine[0], np.float64))
+    struct.pack_into("<4f", header, 296, *np.asarray(affine[1], np.float64))
+    struct.pack_into("<4f", header, 312, *np.asarray(affine[2], np.float64))
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(np.ascontiguousarray(data, data.dtype).tobytes(order="F"))
+
+
 class DecathlonDataset:
     """Manifest-driven dataset matching MONAI's Decathlon layout.
 

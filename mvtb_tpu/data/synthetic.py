@@ -208,3 +208,58 @@ def decathlon_style_dicts(seed: int, n: int, channels: int = 4,
         img, lbl = make_volume(rng, channels, spatial, n_classes)
         out.append({"image": img, "label": lbl})
     return out
+
+
+def onehot_to_brats_ids(label_onehot: np.ndarray) -> np.ndarray:
+    """(TC, WT, ET) one-hot -> raw BraTS class-id volume.
+
+    Inverts ``ConvertToMultiChannelBasedOnBratsClassesd``
+    (``filters_and_operators.py:61-87``): ET -> 2, TC outside ET -> 3,
+    WT outside TC -> 1, background 0.
+    """
+    tc, wt, et = (label_onehot[i].astype(bool) for i in range(3))
+    ids = np.zeros(label_onehot.shape[1:], np.float32)
+    ids[wt] = 1.0
+    ids[tc] = 3.0
+    ids[et] = 2.0
+    return ids
+
+
+def build_decathlon_tree(root_dir: str, n: int = 8, channels: int = 4,
+                         spatial: Tuple[int, ...] = (64, 64, 32),
+                         kind: str = "textured", seed: int = 0,
+                         task: str = "Task01_BrainTumour",
+                         gzip_files: bool = True,
+                         affine: np.ndarray = None) -> str:
+    """Write a synthetic on-disk Decathlon tree in the real BraTS layout.
+
+    Images land channel-LAST ``(X, Y, Z, C)`` ``.nii.gz`` (the raw BraTS
+    NIfTI layout that ``AsChannelFirstd`` transposes), labels as raw class
+    ids 0..3. The tree is a drop-in stand-in for the real dataset: when
+    BraTS lands, point the same pipeline at its root instead (VERDICT
+    round-2 item 3, ``examples/brats_rehearsal.py``).
+    """
+    import json as _json
+    import os as _os
+
+    from mvtb_tpu.data.nifti import write_nifti
+
+    gen = _GENERATORS[kind]
+    rng = np.random.RandomState(seed)
+    task_dir = _os.path.join(root_dir, task)
+    _os.makedirs(_os.path.join(task_dir, "imagesTr"), exist_ok=True)
+    _os.makedirs(_os.path.join(task_dir, "labelsTr"), exist_ok=True)
+    ext = ".nii.gz" if gzip_files else ".nii"
+    entries = []
+    for i in range(n):
+        img, lbl = gen(rng, channels, spatial, 3)
+        raw_img = np.moveaxis(img, 0, -1)  # (C,*sp) -> (*sp, C) BraTS layout
+        raw_lbl = onehot_to_brats_ids(lbl)
+        img_rel = f"imagesTr/synth_{i:03d}{ext}"
+        lbl_rel = f"labelsTr/synth_{i:03d}{ext}"
+        write_nifti(_os.path.join(task_dir, img_rel), raw_img, affine)
+        write_nifti(_os.path.join(task_dir, lbl_rel), raw_lbl, affine)
+        entries.append({"image": img_rel, "label": lbl_rel})
+    with open(_os.path.join(task_dir, "dataset.json"), "w") as f:
+        _json.dump({"name": "synthetic-brats", "training": entries}, f)
+    return task_dir
