@@ -154,6 +154,153 @@ def _run_segmentation(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     return {"history": history, "best_dice": best, "state": state}
 
 
+def _pool_arrays(cfg: ExperimentConfig, seed: int, pool: int):
+    """Device-resident (images, labels) pools honoring the config's channel
+    semantics (select_channel / multimodal), for chunked dispatch."""
+    it = _data_iter(cfg, seed, batch_size=1, pool=pool)
+    imgs, lbls = [], []
+    for _ in range(pool):
+        i, l = next(it)
+        imgs.append(np.asarray(i[0], np.float32))
+        lbls.append(np.asarray(l[0], np.float32))
+    return jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(lbls))
+
+
+def _run_segmentation_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
+                              epochs: int, seed: int,
+                              workdir: Optional[str], log,
+                              val_batches: int = 12, pool: int = 48,
+                              resume: bool = False) -> Dict:
+    """Reference-scale segmentation training with ONE device dispatch per
+    epoch (round-2 TPU lesson: per-step host dispatch over the tunnel costs
+    ~0.5 s/step — a 180x194-step run would spend hours in dispatch alone).
+
+    The whole epoch runs as a jitted ``fori_loop`` chunk over a
+    device-resident pool; validation is one jitted scan over the fixed val
+    arrays; Orbax checkpoints every ``val_interval`` epochs carry the FULL
+    train state, and ``resume=True`` continues a killed run from the latest
+    checkpoint with continuous loss/Dice curves (history persists alongside
+    the checkpoints).
+    """
+    from functools import partial
+
+    from mvtb_tpu.models import UNet
+    from mvtb_tpu.train import (EpochMetrics, create_seg_state, seg_eval_step,
+                                reference_optimizer)
+    from mvtb_tpu.train.chunked import make_chunk_fn
+
+    model = UNet(out_channels=cfg.out_channels, channels=cfg.channels,
+                 strides=cfg.strides, num_res_units=cfg.num_res_units,
+                 dtype=jnp.dtype(cfg.model_dtype))
+    state = create_seg_state(
+        jax.random.key(seed), model,
+        (1,) + cfg.spatial + (cfg.in_channels,),
+        tx=reference_optimizer(cfg.lr, cfg.weight_decay))
+
+    t_pool = time.time()
+    pool_i, pool_l = _pool_arrays(cfg, seed, pool)
+    val_i, val_l = _pool_arrays(cfg, seed + 1000,
+                                val_batches * cfg.batch_size)
+    val_i = val_i.reshape((val_batches, cfg.batch_size) + val_i.shape[1:])
+    val_l = val_l.reshape((val_batches, cfg.batch_size) + val_l.shape[1:])
+    log(f"[{cfg.name}] pools ready: train {pool_i.shape}, val {val_i.shape} "
+        f"({time.time() - t_pool:.0f}s)")
+
+    chunk_fn = make_chunk_fn(cfg.train_stylize)
+
+    @partial(jax.jit, static_argnames=("stylize",))
+    def eval_pool(state, val_i, val_l, key, stylize):
+        def body(i, carry):
+            key, buf = carry
+            key, sub = jax.random.split(key)
+            scores = seg_eval_step(state, val_i[i], val_l[i], sub, stylize)
+            return key, jax.lax.dynamic_update_index_in_dim(buf, scores, i, 0)
+
+        buf = jnp.full((val_batches, cfg.batch_size, cfg.out_channels),
+                       jnp.nan, jnp.float32)
+        return jax.lax.fori_loop(0, val_batches, body, (key, buf))[1]
+
+    ckpt = None
+    history = {"loss": [], "dice": [], "epochs": []}
+    start_epoch = 0
+    hist_path = os.path.join(workdir, "history.json") if workdir else None
+    if workdir:
+        from mvtb_tpu.train.checkpoint import CheckpointManager
+
+        # latest-k retention (no best_fn): resume needs the newest full
+        # state; best-epoch selection is recorded in the history instead
+        ckpt = CheckpointManager(os.path.join(workdir, "ckpt"),
+                                 max_to_keep=3)
+        if resume and ckpt.latest_step is not None:
+            state = ckpt.restore(state)
+            start_epoch = int(ckpt.latest_step)
+            if hist_path and os.path.exists(hist_path):
+                with open(hist_path) as f:
+                    history = json.load(f)
+            # truncate any history past the restored epoch (a crash can land
+            # between history flush and checkpoint save)
+            history["loss"] = history["loss"][:start_epoch]
+            keep = [i for i, e in enumerate(history["epochs"])
+                    if e <= start_epoch]
+            history["dice"] = [history["dice"][i] for i in keep]
+            history["epochs"] = [history["epochs"][i] for i in keep]
+            log(f"[{cfg.name}] resumed from epoch {start_epoch}")
+
+    rng = np.random.RandomState(seed + 7)
+    # replay the sampling stream up to the resume point so a resumed run
+    # draws the same batches the uninterrupted run would have
+    for _ in range(start_epoch):
+        rng.randint(0, pool, (steps_per_epoch, cfg.batch_size))
+    key = jax.random.fold_in(jax.random.key(seed + 1), start_epoch)
+
+    best = max((d["mean"] for d in history["dice"]), default=-1.0)
+    t0 = time.time()
+    for epoch in range(start_epoch, epochs):
+        idxs = jnp.asarray(rng.randint(0, pool,
+                                       (steps_per_epoch, cfg.batch_size)))
+        state, key, loss = chunk_fn(state, key, pool_i, pool_l, idxs)
+        history["loss"].append(float(loss))  # one host sync per epoch
+
+        if (epoch + 1) % cfg.val_interval == 0:
+            key, sub = jax.random.split(key)
+            scores = np.asarray(eval_pool(state, val_i, val_l, sub,
+                                          cfg.val_stylize))
+            metrics = EpochMetrics()
+            for b in range(val_batches):
+                metrics.update(scores[b])
+            result = metrics.result()
+            history["dice"].append(result)
+            history["epochs"].append(epoch + 1)
+            vol_s = (cfg.batch_size * steps_per_epoch * (epoch + 1 - start_epoch)
+                     / max(time.time() - t0, 1e-9))
+            log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
+                f"loss {history['loss'][-1]:.4f} dice {result['mean']:.4f} "
+                f"({vol_s:.1f} train vol/s incl. val)")
+            best = max(best, result["mean"])
+            if ckpt is not None:
+                ckpt.save(epoch + 1, state,
+                          metrics={"mean_dice": result["mean"]})
+            if hist_path:
+                with open(hist_path, "w") as f:
+                    json.dump(history, f)
+    if ckpt is not None:
+        ckpt.wait()
+        ckpt.close()
+    if workdir:
+        from mvtb_tpu.eval.plots import (save_learning_curves,
+                                         save_per_class_curves)
+
+        save_learning_curves(history, os.path.join(
+            workdir, f"trainLoss_and_meanValScore_{cfg.name}.png"),
+            cfg.val_interval, title=cfg.name)
+        if history["dice"]:
+            save_per_class_curves(history, os.path.join(
+                workdir, f"meanValScore_per_label_{cfg.name}.png"),
+                title=cfg.name)
+    return {"history": history, "best_dice": best, "state": state,
+            "resumed_from": start_epoch}
+
+
 def _run_learnable(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                    seed: int, workdir: Optional[str], log) -> Dict:
     from mvtb_tpu.models import GibbsUNet, SpikesUNet
@@ -249,7 +396,7 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         fid = dcgan_fid(g_state, d_state,
                         [next(data_it) for _ in range(4)],
                         jax.random.key(777), nz=cfg.nz)
-        log(f"[{cfg.name}] discriminator-feature FID {fid:.2f}")
+        log(f"[{cfg.name}] frozen-encoder FID {fid:.2f}")
         if workdir:
             from mvtb_tpu.eval.plots import save_image_grid
 
@@ -386,12 +533,18 @@ def run_domain_experiment(config: Union[str, ExperimentConfig], *,
 def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
         steps_per_epoch: int = 8, seed: int = 0,
         workdir: Optional[str] = None, verbose: bool = True,
-        val_batches: int = 12) -> Dict:
+        val_batches: int = 12, chunked: bool = False, resume: bool = False,
+        pool: int = 48) -> Dict:
     """Run one experiment end-to-end; returns history + final state(s).
 
     ``epochs`` overrides the config (use small values for smoke runs; the
     registry holds the reference's full training lengths). ``val_batches``
     sizes the fixed held-out set used for best-checkpoint selection.
+    ``chunked=True`` (segmentation only) dispatches one jitted fori_loop
+    chunk per epoch over a ``pool``-volume device-resident pool — the
+    reference-scale invocation (epochs=180, steps_per_epoch=194, the T1
+    training length) runs this way; ``resume=True`` continues from the
+    latest Orbax checkpoint in ``workdir`` with continuous curves.
     """
     cfg = get_config(config) if isinstance(config, str) else config
     epochs = cfg.epochs if epochs is None else epochs
@@ -400,7 +553,12 @@ def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
         os.makedirs(workdir, exist_ok=True)
 
     t0 = time.time()
-    if cfg.kind == "segmentation":
+    if cfg.kind == "segmentation" and chunked:
+        result = _run_segmentation_chunked(cfg, steps_per_epoch, epochs, seed,
+                                           workdir, log,
+                                           val_batches=val_batches, pool=pool,
+                                           resume=resume)
+    elif cfg.kind == "segmentation":
         result = _run_segmentation(cfg, steps_per_epoch, epochs, seed, workdir,
                                    log, val_batches=val_batches)
     elif cfg.kind in ("learnable_gibbs", "learnable_spikes"):
