@@ -33,22 +33,24 @@ def make_chunk_fn(stylize: Optional[StylizeConfig]) -> Callable:
 
     Returns ``chunk_fn(state, key, pool_images, pool_labels, idxs)`` where
     ``idxs`` is an (K, B) int array of pool rows per step; the state is
-    donated (updated in place), and the last step's loss is returned.
+    donated (updated in place), and the MEAN loss over the chunk's steps is
+    returned (the reference logs per-epoch mean loss, ``baseline.py:250``).
     """
 
     @partial(jax.jit, donate_argnums=(0,))
     def chunk_fn(state: TrainState, key: jax.Array, pool_i: Array,
                  pool_l: Array, idxs: Array):
         def body(i, carry):
-            state, key, _ = carry
+            state, key, acc = carry
             key, sub = jax.random.split(key)
             img = jnp.take(pool_i, idxs[i], axis=0)
             lbl = jnp.take(pool_l, idxs[i], axis=0)
             state, loss = seg_train_step(state, img, lbl, sub, stylize)
-            return (state, key, loss)
+            return (state, key, acc + loss.astype(jnp.float32))
 
-        return jax.lax.fori_loop(0, idxs.shape[0], body,
-                                 (state, key, jnp.float32(0)))
+        state, key, total = jax.lax.fori_loop(
+            0, idxs.shape[0], body, (state, key, jnp.float32(0)))
+        return (state, key, total / idxs.shape[0])
 
     return chunk_fn
 
