@@ -18,11 +18,18 @@ sharded across the ``data`` mesh axis:
    global extrema via ``pmin``/``pmax``.
 
 Key-stream discipline: stages consume PRNG keys in exactly the order of the
-single-chip :func:`~mvtb_tpu.ops.fused.stylize_kspace`, so shared draws
-(sampled radii/alphas, spike locations/intensities, gates) are identical on
-every shard *and* identical to the single-chip path — fixed-location stages
-match it bit-for-bit; only dense random fields (zero-fill, salt&pepper) are
-per-shard streams with the same distribution.
+single-chip :func:`~mvtb_tpu.ops.fused.stylize_kspace`, so EVERY draw is
+identical to the single-chip path. Dense random fields (zero-fill,
+salt&pepper) achieve this by global-coordinate construction: each shard
+generates the full GLOBAL field from the stage key (threefry counters are a
+pure function of (key, global shape), so the replicated compute is
+bit-identical to the single-chip draw) and slices its own block. Zero-fill
+additionally expands the single-chip rfft half-grid pair weight
+``(b1 + b2)/2`` onto the full complex grid this path uses, each conjugate
+pair carrying its half bin's weight (see :func:`_zf_weight_full` for why
+pointwise-equal state — not just equal distribution — is required). The
+replicated generation trades ~n_shards x redundant RNG compute (a few ms at
+BraTS size) for exact parity.
 """
 
 from __future__ import annotations
@@ -74,6 +81,11 @@ def _local_transforms(cfg: StylizeConfig, spatial):
     def _parts(a):
         if jnp.iscomplexobj(a):
             return a.real, a.imag
+        # preserve double precision for x64 runs of the xla fallback (only
+        # the matmul-DFT backends require the f32 cast); upcast low-precision
+        # floats, which XLA FFT does not accept directly.
+        if a.dtype == jnp.float64:
+            return a, None
         return a.astype(jnp.float32), None
 
     def _fwd(a, axes):
@@ -101,6 +113,48 @@ def _global_index(n_global: int, start, local_shape, axis: int) -> Array:
     """Raw global integer index grid for a shard of an axis."""
     return jax.lax.broadcasted_iota(jnp.int32, local_shape, axis) + \
         jnp.asarray(start, jnp.int32)
+
+
+def _zf_weight_full(key, C: int, spatial, zf_p: float, rdtype) -> Array:
+    """Full-grid zero-fill weight matching the single-chip stream exactly.
+
+    The single-chip rfft path (ops/fused.py zero-fill stage) draws two iid
+    Bernoulli keep fields ``b1``/``b2`` on the HALF grid (last axis
+    ``D//2 + 1``) and multiplies the half spectrum by the pair weight
+    ``(b1 + b2)/2`` (``(b1 + b1m)/2`` on the self-mirrored last-axis slabs,
+    ``b1m`` = the other-axes roll-flip mirror). This reproduces that field
+    on the full grid — same draws, same key, same shapes (bit-identical
+    threefry counters), each conjugate pair carrying its half bin's weight —
+    so the sharded spectrum state equals the single-chip Hermitian state
+    pointwise. That exactness matters beyond distribution: later spike/plane
+    writes READ the spectrum at their points, so an iid per-point keep
+    (right distribution, wrong pointwise state) would diverge at written
+    points whenever the pair's two draws differ.
+    """
+    H, W, D = spatial
+    Dh = D // 2 + 1
+    u1 = jax.random.uniform(key, (C, H, W, Dh), rdtype)
+    u2 = jax.random.uniform(jax.random.fold_in(key, 1), (C, H, W, Dh), rdtype)
+    b1 = (u1 > zf_p).astype(rdtype)
+    b2 = (u2 > zf_p).astype(rdtype)
+    b1m = b1
+    for ax in (1, 2):  # roll-flip over the non-halved spatial axes (H, W)
+        b1m = jnp.roll(jnp.flip(b1m, ax), 1, ax)
+    d_half = jnp.arange(Dh)
+    h_self = jnp.logical_or(d_half == 0, (D % 2 == 0) & (d_half == D // 2))
+    w_half = jnp.where(h_self, (b1 + b1m) * 0.5, (b1 + b2) * 0.5)
+    # expand to the full grid: lower-half d takes its own bin, upper-half d
+    # takes its conjugate mirror's bin (-h, -w, D-d)
+    d = jnp.arange(D)
+    lower = d <= D // 2
+    d_lo = jnp.where(lower, d, 0)
+    d_up = jnp.where(lower, 0, D - d)
+    mh = (-jnp.arange(H)) % H
+    mw = (-jnp.arange(W)) % W
+    w_low = jnp.take(w_half, d_lo, axis=-1)
+    w_up = jnp.take(jnp.take(jnp.take(w_half, mh, axis=1), mw, axis=2),
+                    d_up, axis=-1)
+    return jnp.where(lower, w_low, w_up)
 
 
 def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
@@ -184,13 +238,15 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
             if weight is not None:
                 k = k * weight
 
-            # ---- zero-fill (per-shard stream, same distribution) ----
+            # ---- zero-fill (global-coordinate draws: replicated full-grid
+            # generation, sliced to this shard's W block — bit-identical to
+            # the single-chip rfft pair-weight stream) ----
             if cfg.zf_p is not None:
-                u = jax.random.uniform(jax.random.fold_in(next(kit), idx),
-                                       (C,) + local_shape, rdtype)
+                w_zf = _zf_weight_full(next(kit), C, spatial, cfg.zf_p,
+                                       rdtype)
+                w_zf = jax.lax.dynamic_slice_in_dim(w_zf, w0, w_local, axis=2)
                 g = _gate(next(kit), cfg.zf_prob)
-                keep = jnp.logical_or(u > cfg.zf_p, jnp.logical_not(g))
-                k = k * keep.astype(rdtype)
+                k = k * jnp.where(g, w_zf, jnp.ones((), rdtype))
 
             # ---- magnitude-domain edits ----
             # Written-point-only updates (as in ops/fused.py): each written
@@ -281,13 +337,17 @@ def stylize_kspace_sharded(x: Array, key: jax.Array, cfg: StylizeConfig,
                                    tiled=True)
             out = inv_real_t(k, (-2, -1)).astype(x.dtype)
 
-        # ---- salt & pepper with global extrema ----
+        # ---- salt & pepper with global extrema (u drawn on the GLOBAL
+        # shape and sliced to this shard's H block: same threefry counters
+        # as the single-chip draw, so the impulse pattern matches exactly) ----
         if cfg.sap_p is not None:
             p = _sample(next(kit), cfg.sap_p, rdtype)
             g = _gate(next(kit), cfg.sap_prob)
             p = jnp.where(g, p, jnp.zeros((), rdtype))
-            u = jax.random.uniform(jax.random.fold_in(next(kit), idx),
-                                   out.shape, rdtype)
+            h_local = H // n_shards
+            u = jax.random.uniform(next(kit), (C, H, W, D), rdtype)
+            u = jax.lax.dynamic_slice_in_dim(u, idx * h_local, h_local,
+                                             axis=1)
             lo = jax.lax.pmin(out.min(), axis_name) / 2
             hi = jax.lax.pmax(out.max(), axis_name) / 2
             styled = jnp.where(u <= p / 2, lo, out)

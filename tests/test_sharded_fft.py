@@ -35,6 +35,17 @@ def _x(seed=0):
                   spike_range=(11.0, 11.0), spike_channel_wise=False,
                   plane_axes=(6.0, 8.0, 4.0), plane_intensity=10.0),
     StylizeConfig(spike=True),  # data-dependent default range (psum stats)
+    # dense random fields: global-coordinate draws match the single-chip
+    # stream exactly (round-2 VERDICT item 5)
+    StylizeConfig(zf_p=0.3),
+    StylizeConfig(sap_p=0.15),
+    StylizeConfig(disk_r=6.0, zf_p=0.25, sap_p=0.1),
+    # zf + point writes: the written point READS the zf'd spectrum, so this
+    # only matches if the sharded zf state equals the half-grid pair weight
+    # pointwise (see _zf_weight_full)
+    StylizeConfig(zf_p=0.3, spike=True, spike_range=(10.0, 12.0)),
+    StylizeConfig(zf_p=0.3, plane_axes=(6.0, 8.0, 4.0),
+                  plane_intensity=10.0),
 ])
 def test_sharded_matches_single_chip(cfg):
     x = _x()
