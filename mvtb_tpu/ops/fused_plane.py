@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mvtb_tpu.ops import dft as _dft
 from mvtb_tpu.ops.masks import ellipsoid_shell_mask
-from mvtb_tpu.ops.pallas_dft import _dot, _fast
+from mvtb_tpu.ops.pallas_dft import _dot, _fast, _split_bf16
 
 Array = jnp.ndarray
 
@@ -54,10 +54,15 @@ _VMEM_BUDGET = 12 << 20
 
 
 def _plane_vmem_bytes(W: int, D: int) -> int:
-    """f32 bytes the kernel keeps resident: 12 (n, n) DFT matrices
+    """Bytes the kernel keeps resident: 12 (n, n) f32 DFT matrices
     (fwd/inv Gauss cos/cps/smc for W and D) + the 4 (W, D) re/im in/out
-    tiles, double-buffered by the pipeline."""
-    return 4 * (6 * W * W + 6 * D * D + 8 * W * D)
+    tiles, double-buffered by the pipeline. The ``3x`` (bf16x3) dot path
+    additionally materializes bf16 hi/lo splits of matrices and tiles
+    in-kernel (~+50% over the f32 residents), so the estimate carries a
+    1.5x factor to keep :func:`plane_kernel_eligible` conservative at
+    boundary shapes regardless of precision tier."""
+    f32_resident = 4 * (6 * W * W + 6 * D * D + 8 * W * D)
+    return (3 * f32_resident) // 2
 
 
 def plane_kernel_eligible(cfg, spatial) -> bool:
@@ -98,19 +103,74 @@ def _shifted(i, n: int):
 def _build_kernel(spatial, flags, fast):
     """Kernel body closure. ``flags`` is the static stage configuration:
     (has_gibbs, gibbs_sym, has_disk, inside_off, has_wrap, has_spike,
-    has_plane). Traced stage parameters arrive via SMEM refs."""
+    has_plane). Traced stage parameters arrive via SMEM refs.
+
+    Matrix operands arrive PRE-LOWERED for the precision tier (see
+    ``_prep_mats``): bf16 for ``1x``, (hi, lo) bf16 split pairs for ``3x``,
+    f32 for ``f32``. Round 2's kernel re-cast/re-split the 12 resident DFT
+    matrices on EVERY (channel, half-H) grid step — for the ``3x`` tier
+    that VPU work dominated the step and made it lose to the XLA chain
+    (25.5 vs 21.7 ms); hoisting the splits out of the grid loop is what the
+    round-3 accurate tier is built on. Only the (W, D) data tiles are still
+    split in-kernel (they change per step).
+    """
     H, W, D = spatial
     (has_gibbs, gibbs_sym, has_disk, inside_off, has_wrap,
      has_spike, has_plane) = flags
     gdeltas = tuple((n - 1) / 2 - n // 2 for n in spatial)
 
-    def gauss_sub(cos, cps, smc, re, im):  # mat @ tile (W axis)
-        k1 = _dot(cos, re + im, fast)
-        return k1 - _dot(cps, im, fast), k1 + _dot(smc, re, fast)
+    from functools import partial as _partial
 
-    def gauss_lane(cos, cps, smc, re, im):  # tile @ mat (D axis)
-        k1 = _dot(re + im, cos, fast)
-        return k1 - _dot(im, cps, fast), k1 + _dot(re, smc, fast)
+    dot_bf = _partial(jnp.dot, preferred_element_type=jnp.float32)
+
+    if fast == "3x":
+        # matrices are (hi, lo) pairs; tiles split once per gauss call
+        def gauss_sub(cos, cps, smc, re, im):  # mat @ tile (W axis)
+            s_h, s_l = _split_bf16(re + im)
+            i_h, i_l = _split_bf16(im)
+            r_h, r_l = _split_bf16(re)
+            k1 = (dot_bf(cos[0][:], s_h) + dot_bf(cos[0][:], s_l)
+                  + dot_bf(cos[1][:], s_h))
+            k2 = (dot_bf(cps[0][:], i_h) + dot_bf(cps[0][:], i_l)
+                  + dot_bf(cps[1][:], i_h))
+            k3 = (dot_bf(smc[0][:], r_h) + dot_bf(smc[0][:], r_l)
+                  + dot_bf(smc[1][:], r_h))
+            return k1 - k2, k1 + k3
+
+        def gauss_lane(cos, cps, smc, re, im):  # tile @ mat (D axis)
+            s_h, s_l = _split_bf16(re + im)
+            i_h, i_l = _split_bf16(im)
+            r_h, r_l = _split_bf16(re)
+            k1 = (dot_bf(s_h, cos[0][:]) + dot_bf(s_l, cos[0][:])
+                  + dot_bf(s_h, cos[1][:]))
+            k2 = (dot_bf(i_h, cps[0][:]) + dot_bf(i_l, cps[0][:])
+                  + dot_bf(i_h, cps[1][:]))
+            k3 = (dot_bf(r_h, smc[0][:]) + dot_bf(r_l, smc[0][:])
+                  + dot_bf(r_h, smc[1][:]))
+            return k1 - k2, k1 + k3
+    elif fast == "1x":
+        # matrices arrive bf16; only the tiles are cast per step
+        def gauss_sub(cos, cps, smc, re, im):
+            s = (re + im).astype(jnp.bfloat16)
+            i = im.astype(jnp.bfloat16)
+            r = re.astype(jnp.bfloat16)
+            k1 = dot_bf(cos[:], s)
+            return k1 - dot_bf(cps[:], i), k1 + dot_bf(smc[:], r)
+
+        def gauss_lane(cos, cps, smc, re, im):
+            s = (re + im).astype(jnp.bfloat16)
+            i = im.astype(jnp.bfloat16)
+            r = re.astype(jnp.bfloat16)
+            k1 = dot_bf(s, cos[:])
+            return k1 - dot_bf(i, cps[:]), k1 + dot_bf(r, smc[:])
+    else:
+        def gauss_sub(cos, cps, smc, re, im):  # mat @ tile (W axis)
+            k1 = _dot(cos[:], re + im, fast)
+            return k1 - _dot(cps[:], im, fast), k1 + _dot(smc[:], re, fast)
+
+        def gauss_lane(cos, cps, smc, re, im):  # tile @ mat (D axis)
+            k1 = _dot(re + im, cos[:], fast)
+            return k1 - _dot(im, cps[:], fast), k1 + _dot(re, smc[:], fast)
 
     def weight_of(off_h, off_w, off_d, wp):
         """Multiplicative weight from per-axis raw offsets — the in-kernel
@@ -153,17 +213,25 @@ def _build_kernel(spatial, flags, fast):
     n_stages = int(has_spike) + int(has_plane)
 
     def kernel(wp_ref, locs_ref, vals_ref, gates_ref, conjs_ref, scales_ref,
-               re_ref, im_ref,
-               wf_cos, wf_cps, wf_smc, df_cos, df_cps, df_smc,
-               wi_cos, wi_cps, wi_smc, di_cos, di_cps, di_smc,
-               ore_ref, oim_ref):
+               re_ref, im_ref, *mat_and_out_refs):
+        # trailing refs: the 12 matrix slots (each a single ref, or an
+        # (hi, lo) ref pair in the pre-split 3x tier) then the two outputs
+        ore_ref, oim_ref = mat_and_out_refs[-2:]
+        mrefs = mat_and_out_refs[:-2]
+        if fast == "3x":
+            mats = [(mrefs[2 * i], mrefs[2 * i + 1]) for i in range(12)]
+        else:
+            mats = list(mrefs)
+        (wf_cos, wf_cps, wf_smc, df_cos, df_cps, df_smc,
+         wi_cos, wi_cps, wi_smc, di_cos, di_cps, di_smc) = mats
+
         c = pl.program_id(0)
         hh = pl.program_id(1)
         re, im = re_ref[0, 0], im_ref[0, 0]
 
         # forward: W (sublane) then D (lane)
-        re, im = gauss_sub(wf_cos[:], wf_cps[:], wf_smc[:], re, im)
-        re, im = gauss_lane(df_cos[:], df_cps[:], df_smc[:], re, im)
+        re, im = gauss_sub(wf_cos, wf_cps, wf_smc, re, im)
+        re, im = gauss_lane(df_cos, df_cps, df_smc, re, im)
 
         # ---- multiplicative weight (iota-built; Mosaic iota is int-only)
         iwi = jax.lax.broadcasted_iota(jnp.int32, (W, D), 0)
@@ -232,7 +300,19 @@ def _plane_pallas(spatial, flags, precision, interpret: bool):
     mats = []
     for n, inverse in ((W, False), (D, False), (W, True), (D, True)):
         cos, smc, cps = _dft._gauss_dft_matrices_np(n, inverse)
-        mats += [jnp.asarray(cos), jnp.asarray(cps), jnp.asarray(smc)]
+        for m in (cos, cps, smc):
+            # pre-lower matrices for the precision tier OUTSIDE the grid
+            # loop: re-casting/re-splitting them per (c, hh) step was the
+            # dominant VPU cost of the round-2 "3x" tier (see _build_kernel)
+            if fast == "1x":
+                mats.append(jnp.asarray(m, jnp.float32).astype(jnp.bfloat16))
+            elif fast == "3x":
+                m32 = jnp.asarray(m, jnp.float32)
+                hi = m32.astype(jnp.bfloat16)  # same split as _split_bf16
+                lo = (m32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                mats += [hi, lo]
+            else:
+                mats.append(jnp.asarray(m))
 
     @jax.custom_batching.custom_vmap
     def run(k_re, k_im, wparams, locs, vals, gates, conjs, scales):
@@ -244,7 +324,7 @@ def _plane_pallas(spatial, flags, precision, interpret: bool):
         return pl.pallas_call(
             kern,
             grid=(C, Hh),
-            in_specs=[smem] * 6 + [tile, tile] + [mspec] * 12,
+            in_specs=[smem] * 6 + [tile, tile] + [mspec] * len(mats),
             out_specs=(tile, tile),
             out_shape=(jax.ShapeDtypeStruct(k_re.shape, jnp.float32),
                        jax.ShapeDtypeStruct(k_re.shape, jnp.float32)),
