@@ -13,10 +13,72 @@ TPU-first design decisions (not a port):
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+_DIMCHARS = "HWDXY"  # spatial dim labels for conv dimension_numbers
+
+
+class Conv(nn.Module):
+    """Channel-last convolution, parameter-compatible with ``nn.Conv``
+    (same ``kernel``/``bias`` names, shapes, and init), with a measured
+    TPU lowering: stride-1 kernel-3 3D convolutions run as three 2D
+    convolutions over ``(B*D)`` slabs stitched by two shifted adds — an
+    exact reformulation (SAME zero padding included) that profiled 1.3-2x
+    faster per conv and 1.9x on the full fwd+bwd than XLA's native 3D conv
+    path at the UNet's shapes (reports/train_step_profile/RESULTS.md).
+    Everything else (strided, transposed-free generic cases) lowers through
+    the standard ``conv_general_dilated``. ``slab=False`` forces the native
+    path (the pure-XLA baseline, kept measured).
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...] = (3, 3, 3)
+    strides: Union[int, Tuple[int, ...]] = 1
+    padding: str = "SAME"
+    dtype: jnp.dtype = jnp.float32
+    slab: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        nd = x.ndim - 2
+        k = tuple(self.kernel_size)
+        s = self.strides if isinstance(self.strides, tuple) \
+            else (self.strides,) * nd
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            k + (cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        xd = x.astype(self.dtype)
+        wd = kernel.astype(self.dtype)
+        if (self.slab and nd == 3 and k == (3, 3, 3)
+                and s == (1, 1, 1) and self.padding == "SAME"):
+            B, H, W, D, C = xd.shape
+            xs = jnp.moveaxis(xd, 3, 1).reshape(B * D, H, W, C)
+            parts = []
+            for dz in range(3):
+                y = jax.lax.conv_general_dilated(
+                    xs, wd[:, :, dz], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                parts.append(y.reshape(B, D, H, W, self.features))
+            # depth tap dz contributes in[d + dz - 1] to out[d]; SAME zero
+            # padding is reproduced by the zero-filled shifts
+            out = parts[1]
+            zero = jnp.zeros_like(parts[0][:, :1])
+            out = out + jnp.concatenate([parts[2][:, 1:], zero], axis=1)
+            out = out + jnp.concatenate([zero, parts[0][:, :-1]], axis=1)
+            y = jnp.moveaxis(out, 1, 3)
+        else:
+            spatial = _DIMCHARS[:nd]
+            y = jax.lax.conv_general_dilated(
+                xd, wd, s, self.padding,
+                dimension_numbers=(f"N{spatial}C", f"{spatial}IO",
+                                   f"N{spatial}C"))
+        return y + bias.astype(y.dtype)
 
 
 class ConvNormAct(nn.Module):
@@ -39,10 +101,12 @@ class ConvNormAct(nn.Module):
         k = (self.kernel_size,) * nd
         s = (self.strides,) * nd
         if self.transposed:
+            # ConvTranspose stays on the native lowering: the pixel-shuffle
+            # replacement LOST 1.6x end-to-end (RESULTS.md "experiments")
             x = nn.ConvTranspose(self.features, k, s, padding="SAME",
                                  dtype=self.dtype)(x)
         else:
-            x = nn.Conv(self.features, k, s, padding="SAME", dtype=self.dtype)(x)
+            x = Conv(self.features, k, s, padding="SAME", dtype=self.dtype)(x)
         if not self.conv_only:
             # InstanceNorm (affine=False): per-channel, per-sample spatial norm.
             x = nn.GroupNorm(num_groups=None, group_size=1, epsilon=1e-5,
@@ -78,8 +142,8 @@ class ResidualUnit(nn.Module):
         if self.strides != 1 or in_features != self.features:
             nd = x.ndim - 2
             rk = (self.kernel_size,) * nd if self.strides != 1 else (1,) * nd
-            res = nn.Conv(self.features, rk, (self.strides,) * nd,
-                          padding="SAME", dtype=self.dtype)(x)
+            res = Conv(self.features, rk, (self.strides,) * nd,
+                       padding="SAME", dtype=self.dtype)(x)
         else:
             res = x
         return y + res

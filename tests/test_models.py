@@ -105,3 +105,57 @@ def test_resunet_gan_shapes_and_global_residual():
     d = ResUnetDiscriminator(nf=4)
     dv = d.init(jax.random.key(0), x)
     assert d.apply(dv, x).shape == (1, 1, 1, 1)
+
+
+def test_slab_conv_matches_native_conv_exactly():
+    """The slab-lowered Conv is an exact reformulation of nn.Conv
+    (same params, same SAME zero padding): f32 outputs agree to float
+    tolerance on both the slab-eligible and generic paths, and gradients
+    flow."""
+    import flax.linen as nn
+
+    from mvtb_tpu.models import unet3d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 10, 6, 5).astype(np.float32))
+    conv = unet3d.Conv(7, (3, 3, 3), 1)
+    v = conv.init(jax.random.key(0), x)
+    y = conv.apply(v, x)
+
+    y_native = nn.Conv(7, (3, 3, 3), (1, 1, 1), padding="SAME").apply(
+        {"params": v["params"]}, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_native),
+                               atol=2e-5, rtol=2e-5)
+    y_forced = unet3d.Conv(7, (3, 3, 3), 1, slab=False).apply(v, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_forced),
+                               atol=2e-5, rtol=2e-5)
+
+    # strided (generic path) still matches nn.Conv
+    conv_s = unet3d.Conv(4, (3, 3, 3), 2)
+    vs = conv_s.init(jax.random.key(1), x)
+    ys = conv_s.apply(vs, x)
+    ys_native = nn.Conv(4, (3, 3, 3), (2, 2, 2), padding="SAME").apply(
+        {"params": vs["params"]}, x)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_native),
+                               atol=2e-5, rtol=2e-5)
+
+    g = jax.grad(lambda p: jnp.sum(conv.apply({"params": p}, x) ** 2))(
+        v["params"])
+    assert all(np.isfinite(leaf).all() for leaf in jax.tree.leaves(g))
+
+
+def test_unet_param_paths_unchanged_by_slab_conv():
+    """The slab Conv keeps nn.Conv's param names/shapes and the class name
+    'Conv', so UNet param paths (and old checkpoints) are unchanged."""
+    from flax.traverse_util import flatten_dict
+
+    from mvtb_tpu.models import UNet
+
+    model = UNet(out_channels=3, channels=(4, 8), strides=(2,),
+                 num_res_units=1)
+    v = jax.jit(model.init)(jax.random.key(0),
+                            jnp.zeros((1, 16, 16, 16, 4), jnp.float32))
+    paths = {"/".join(k) for k in flatten_dict(v["params"])}
+    assert any("Conv_0/kernel" in p for p in paths)
+    assert all(("kernel" in p) or ("bias" in p) or ("negative_slope" in p)
+               for p in paths)
