@@ -1,10 +1,11 @@
 """DCGAN training + FID report: quantitative GAN evaluation artifact.
 
 The reference's DCGAN (``50_reconstruction/dcgan.py``) is judged by eye
-(fixed-noise grids). This runs the registry's ``dcgan`` config through the
-experiments runner — which now logs a discriminator-feature Frechet distance
-(``mvtb_tpu.eval.fid``) — at several checkpoints, showing the FID improving
-as G trains, and writes samples + the FID curve.
+(fixed-noise grids). This trains the registry's ``dcgan`` config and scores
+a **frozen-encoder** Frechet distance (``mvtb_tpu.eval.fid``, round 3: a
+fixed-seed feature net, so the curve is comparable across rounds and across
+runs — the round-2 discriminator-feature variant was not) at several
+checkpoints, writing samples + the FID curve.
 
 Run (TPU): ``python examples/dcgan_fid_report.py``
 Env: ROUNDS, STEPS_PER_ROUND, OUTDIR.

@@ -189,3 +189,47 @@ def test_partition_dataset_matches_monai_ratios():
     # seeded shuffle is reproducible
     again = partition_dataset(data, ratios=[0.9, 0.1], shuffle=True, seed=42)
     assert parts == again
+
+
+def test_cache_dataset_caches_prefix_but_rerolls_random_suffix():
+    """MONAI CacheDataset semantics: the deterministic prefix runs once and
+    is cached; the random suffix re-rolls per access on a deepcopy."""
+    from monai.data import CacheDataset
+    from monai.transforms import Compose, MapTransform
+    from mvtb_tpu.transforms.base import Randomizable
+
+    calls = {"prefix": 0}
+
+    class CountingDouble(MapTransform):
+        def __call__(self, d):
+            calls["prefix"] += 1
+            d = dict(d)
+            for k in self.key_iterator(d):
+                d[k] = np.asarray(d[k]) * 2.0
+            return d
+
+    class RandShift(MapTransform, Randomizable):
+        def __call__(self, d):
+            d = dict(d)
+            off = self.R.rand()
+            for k in self.key_iterator(d):
+                d[k] = np.asarray(d[k]) + off
+            return d
+
+    data = [{"image": np.ones((2, 2), np.float32)} for _ in range(3)]
+    ds = CacheDataset(data, Compose([CountingDouble(keys="image"),
+                                     RandShift(keys="image")]), cache_num=3)
+    a = ds[0]["image"]
+    b = ds[0]["image"]
+    assert calls["prefix"] == 1  # prefix ran once, cached
+    assert (a >= 2.0).all() and (b >= 2.0).all()
+    assert not np.allclose(a, b)  # random suffix re-rolled
+
+
+def test_add_channeld_and_numpy_pad_mode_names_exist():
+    from monai.transforms import AddChanneld
+    from monai.utils import NumpyPadMode
+
+    d = AddChanneld(keys="label")({"label": np.zeros((4, 4, 2))})
+    assert d["label"].shape == (1, 4, 4, 2)
+    assert str(NumpyPadMode.CONSTANT) == "constant"
