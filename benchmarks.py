@@ -541,10 +541,17 @@ def main():
         f" f32-accurate `dft` default and {fb['plane_ms']:.2f} ms for"
         " `plane` at bf16x3. Round 3 pre-lowers the 12 resident DFT"
         " matrices for the precision tier OUTSIDE the grid loop (bf16 for"
-        " 1x, hi/lo split pairs for 3x) — round 2's kernel re-cast/re-split"
-        " them on every (channel, half-H) step, which is what made the"
-        " accurate tier lose (25.5 ms then). The accuracy-first 'auto'"
-        " default stays `dft`;"
+        " 1x, hi/lo split pairs for 3x); measured outcome: NO wall-clock"
+        " change vs round 2's in-kernel re-splits — the accurate tier is"
+        " MXU-pass-bound, not VPU-bound. Recorded dead-end for the"
+        " sub-21.7ms accurate-kernel goal: at bf16x3 the kernel's 3x"
+        " per-tile dots (484 sequential (W,W)@(W,D) grid steps) already"
+        " exceed the XLA chain's total — XLA runs the same split math as"
+        " volume-wide batched GEMMs with better MXU pipelining, so the"
+        " kernel's ~4-round-trip HBM saving only pays at the 1x tier."
+        " Accuracy of the tier vs `dft`: 3.1e-06 at 96x96x48,"
+        f" {fb['plane_rel_err']:.1e} at the headline shape."
+        " The accuracy-first 'auto' default stays `dft`;"
         " `plane_fast` is the opt-in fast tier. Batched calls fold the"
         " batch into the channel grid axis via a custom_vmap rule (Mosaic"
         " rejects vmap-blocked SMEM scalar specs). Parity vs the dft path:"

@@ -105,14 +105,17 @@ def _build_kernel(spatial, flags, fast):
     (has_gibbs, gibbs_sym, has_disk, inside_off, has_wrap, has_spike,
     has_plane). Traced stage parameters arrive via SMEM refs.
 
-    Matrix operands arrive PRE-LOWERED for the precision tier (see
-    ``_prep_mats``): bf16 for ``1x``, (hi, lo) bf16 split pairs for ``3x``,
-    f32 for ``f32``. Round 2's kernel re-cast/re-split the 12 resident DFT
-    matrices on EVERY (channel, half-H) grid step — for the ``3x`` tier
-    that VPU work dominated the step and made it lose to the XLA chain
-    (25.5 vs 21.7 ms); hoisting the splits out of the grid loop is what the
-    round-3 accurate tier is built on. Only the (W, D) data tiles are still
-    split in-kernel (they change per step).
+    Matrix operands arrive PRE-LOWERED for the precision tier: bf16 for
+    ``1x``, (hi, lo) bf16 split pairs for ``3x``, f32 for ``f32``. Round
+    2's kernel re-cast/re-split the 12 resident DFT matrices on EVERY
+    (channel, half-H) grid step; hoisting that out of the grid loop was
+    measured to change NOTHING at the headline shape (25.5 ms both ways,
+    BENCHMARKS.md) — the ``3x`` tier is MXU-pass-bound (3x the dots of
+    ``1x`` over 484 sequential per-tile grid steps), which is the recorded
+    reason an f32-accurate plane kernel cannot beat the 21.7 ms XLA
+    matmul-DFT chain. The hoist is kept: it is free, strictly less
+    per-step work, and halves the 1x tier's matrix VMEM. Only the (W, D)
+    data tiles are still split/cast in-kernel (they change per step).
     """
     H, W, D = spatial
     (has_gibbs, gibbs_sym, has_disk, inside_off, has_wrap,
