@@ -3,6 +3,15 @@
 These reproduce the constructor signatures and randomization semantics of the
 reference's dict transforms (``source_code/filters_and_operators.py``, FO) so
 ``10_scripts``-style experiment specs rerun unchanged against this framework.
+
+.. note:: **Parity path, not the performance path.** Each transform here
+   performs its own FFT round trip per key per call (one ``fft_shifted`` /
+   ``ifft_shifted`` pair), exactly like the reference — that is the shape of
+   the compatibility contract, and it is the slow shape. Production training
+   and the benchmarks route k-space corruption through the fused on-device
+   engine instead (``mvtb_tpu.ops.fused.stylize_kspace`` and the
+   ``StylizeConfig`` backends), which applies the whole corruption stack in
+   a single spectrum pass. Do not benchmark this module.
 """
 
 from __future__ import annotations
