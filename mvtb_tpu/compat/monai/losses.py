@@ -1,8 +1,14 @@
 """``monai.losses.DiceLoss`` facade over :func:`mvtb_tpu.train.losses.dice_loss`.
 
-Forward evaluation is exact (same formula, ``baseline.py:207`` parameters);
-``.backward()`` on the returned value is the documented torch-training
-boundary — it raises with a pointer to the TPU-native training entry points.
+Forward evaluation is exact (same formula, ``baseline.py:207`` parameters).
+When the prediction came from the shim's UNet facade, the returned value
+carries a grad tape and ``.backward()`` works — it runs jitted
+``jax.value_and_grad`` of dice∘forward and populates ``.grad`` on the
+facade's torch parameters, so the reference's verbatim training loop
+(``baseline.py:232-248``: zero_grad/forward/loss/backward/step) executes
+top-to-bottom (see ``networks/nets.py`` grad-bridge docstring). On a plain
+array input (no tape), ``.backward()`` still raises with a pointer to the
+TPU-native training entry points.
 """
 
 from __future__ import annotations
@@ -11,19 +17,30 @@ import numpy as np
 
 
 class _LossValue(float):
-    """Float + the two torch-tensor methods the scripts call on a loss."""
+    """Float + the two torch-tensor methods the scripts call on a loss.
+
+    ``_tape`` (set by DiceLoss when the prediction came from the UNet
+    facade) holds (model, input, target, loss_cfg) for ``backward()``.
+    """
+
+    _tape = None
 
     def item(self) -> float:
         return float(self)
 
     def backward(self):
-        raise RuntimeError(
-            "mvtb_tpu monai shim: DiceLoss values are not torch autograd "
-            "nodes — the torch training loop is the documented compat "
-            "boundary. Run training TPU-native instead: "
-            "mvtb_tpu.train.seg.seg_train_step (jitted fwd+bwd+Adam) or the "
-            "config-driven runner `python -m mvtb_tpu.experiments <name>`."
-        )
+        if self._tape is None:
+            raise RuntimeError(
+                "mvtb_tpu monai shim: this DiceLoss value has no grad tape "
+                "(the prediction did not come from the shim UNet facade). "
+                "Run training TPU-native instead: "
+                "mvtb_tpu.train.seg.seg_train_step (jitted fwd+bwd+Adam) or "
+                "the config-driven runner "
+                "`python -m mvtb_tpu.experiments <name>`."
+            )
+        model, x_cf, tgt_cf, cfg = self._tape
+        _, grads = model._value_and_grad_fn(cfg)(model._params, x_cf, tgt_cf)
+        model._accumulate_torch_grads(grads)
 
 
 class DiceLoss:
@@ -54,4 +71,12 @@ class DiceLoss:
                         squared_pred=self.squared_pred,
                         smooth_nr=self.smooth_nr, smooth_dr=self.smooth_dr,
                         include_background=self.include_background)
-        return _LossValue(float(val))
+        out = _LossValue(float(val))
+        model = getattr(input, "_mvtb_model", None)
+        if model is not None:
+            out._tape = (model, getattr(input, "_mvtb_input"),
+                         np.asarray(target, np.float32),
+                         (self.sigmoid, self.squared_pred,
+                          self.include_background,
+                          self.smooth_nr, self.smooth_dr))
+        return out

@@ -4,11 +4,25 @@ Accepts both the MONAI 0.4 (``dimensions=``) and 0.5+ (``spatial_dims=``)
 constructor spellings the reference scripts use (``baseline.py:198-205``).
 The facade is torch-module-shaped: ``.to(device)``/``.train()``/``.eval()``
 chain, ``model(inputs)`` runs the jitted TPU forward on channel-first
-arrays, ``.parameters()`` yields real ``torch.nn.Parameter`` copies (so
-``torch.optim.Adam(model.parameters(), ...)`` and the scripts'
-parameter-count prints work), and ``state_dict``/``load_state_dict`` move
-numpy-backed flax trees. Training through torch autograd is the documented
-boundary (see the package docstring).
+arrays, ``.parameters()`` yields real ``torch.nn.Parameter`` views of the
+flax leaves, and ``state_dict``/``load_state_dict`` move numpy-backed flax
+trees.
+
+Grad bridge (closes the training half of the "rerun unchanged" clause):
+the reference's verbatim loop (``baseline.py:232-248``)
+
+    optimizer.zero_grad(); outputs = model(inputs)
+    loss = loss_function(outputs, labels); loss.backward(); optimizer.step()
+
+works end-to-end — ``model(inputs)`` tapes (model, inputs) onto the output,
+``DiceLoss`` carries the tape onto the loss value, ``loss.backward()``
+computes ``jax.value_and_grad`` of dice∘forward over the flax params and
+populates ``.grad`` on the SAME ``torch.nn.Parameter`` objects the
+optimizer holds, and the next forward syncs the stepped torch values back
+into the flax tree. Cost note: backward re-runs the forward inside the
+jitted value_and_grad (the facade forward's activations are not reused), so
+one loop iteration is ~2 forwards + 1 backward — fine at compat-test scale;
+production training uses the TPU-native jitted steps (``train/seg.py``).
 """
 
 from __future__ import annotations
@@ -73,29 +87,97 @@ class UNet:
     def eval(self):
         return self
 
+    def _sync_from_torch(self):
+        """Copy (possibly optimizer-stepped) torch parameter values back into
+        the flax tree. Called before every forward once ``parameters()`` has
+        been materialized, so ``torch.optim.*.step()`` takes effect on the
+        next ``model(inputs)`` — the second half of the grad bridge."""
+        if getattr(self, "_torch_params", None) is None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        versions = [p._version for p in self._torch_params]
+        if versions == getattr(self, "_torch_versions", None):
+            return  # no in-place step since the last sync
+        leaves = [jnp.asarray(np.asarray(p.detach().numpy(), np.float32))
+                  for p in self._torch_params]
+        self._params = jax.tree.unflatten(self._treedef, leaves)
+        self._torch_versions = versions
+
     def __call__(self, x):
         from .._tensor import ArrayTensor
 
-        out = np.asarray(self._fwd(self._params, np.asarray(x, np.float32)))
-        return out.view(ArrayTensor)
+        self._sync_from_torch()
+        x_np = np.asarray(x, np.float32)
+        out = np.asarray(self._fwd(self._params, x_np)).view(ArrayTensor)
+        # tape for the grad bridge: DiceLoss propagates these onto the loss
+        # value so loss.backward() can differentiate dice∘forward
+        out._mvtb_model = self
+        out._mvtb_input = x_np
+        return out
 
     def forward(self, x):
         return self(x)
 
     def parameters(self):
-        """torch.nn.Parameter COPIES of the jax leaves (for parameter counts
-        and optimizer construction; stepping them does not move the jax
-        weights — training is the documented boundary)."""
+        """Live ``torch.nn.Parameter`` views of the jax leaves, in
+        ``jax.tree.flatten`` order. ``loss.backward()`` populates their
+        ``.grad``; an optimizer step on them is synced back into the flax
+        tree on the next forward (see :meth:`_sync_from_torch`)."""
         import jax
         import torch
 
-        if not hasattr(self, "_torch_params"):
+        if getattr(self, "_torch_params", None) is None:
+            leaves, self._treedef = jax.tree.flatten(self._params)
             self._torch_params = [
                 torch.nn.Parameter(
-                    torch.from_numpy(np.array(leaf, copy=True)).float())
-                for leaf in jax.tree.leaves(self._params)
+                    torch.from_numpy(np.array(leaf, np.float32, copy=True)))
+                for leaf in leaves
             ]
+            self._torch_versions = [p._version for p in self._torch_params]
         return iter(self._torch_params)
+
+    def _accumulate_torch_grads(self, grads):
+        """Scatter a flax grad tree into ``.grad`` on the torch parameters,
+        accumulating like torch autograd (the reference zeroes per step)."""
+        import jax
+        import torch
+
+        list(self.parameters())  # materialize views if not yet built
+        for p, g in zip(self._torch_params, jax.tree.leaves(grads)):
+            # np.array (not ascontiguousarray — it promotes 0-d to (1,),
+            # breaking scalar params like PReLU slopes); copy=True gives
+            # torch a writable buffer
+            g_t = torch.from_numpy(np.array(g, np.float32, copy=True))
+            p.grad = g_t if p.grad is None else p.grad + g_t
+
+    def _value_and_grad_fn(self, loss_cfg: tuple):
+        """Jitted ``value_and_grad`` of dice(forward(params, x), target) for
+        one DiceLoss configuration; cached per config."""
+        import jax
+        import jax.numpy as jnp
+
+        cache = getattr(self, "_vg_cache", None)
+        if cache is None:
+            cache = self._vg_cache = {}
+        if loss_cfg not in cache:
+            (sigmoid, squared_pred, include_background,
+             smooth_nr, smooth_dr) = loss_cfg
+
+            def loss_from_params(params, x_cf, tgt_cf):
+                from mvtb_tpu.train.losses import dice_loss
+
+                x = jnp.moveaxis(x_cf, 1, -1)
+                y = self._model.apply({"params": params}, x)
+                return dice_loss(
+                    y, jnp.moveaxis(tgt_cf, 1, -1), sigmoid=sigmoid,
+                    squared_pred=squared_pred, smooth_nr=smooth_nr,
+                    smooth_dr=smooth_dr,
+                    include_background=include_background)
+
+            cache[loss_cfg] = jax.jit(jax.value_and_grad(loss_from_params))
+        return cache[loss_cfg]
 
     def state_dict(self):
         from flax.traverse_util import flatten_dict
@@ -114,6 +196,8 @@ class UNet:
                              f"unexpected {have - want}")
         self._params = unflatten_dict(
             {tuple(k.split("/")): jnp.asarray(v) for k, v in sd.items()})
-        if hasattr(self, "_torch_params"):
-            del self._torch_params  # stale copies of the old weights
+        # drop stale torch views of the old weights
+        for attr in ("_torch_params", "_torch_versions", "_treedef"):
+            if hasattr(self, attr):
+                delattr(self, attr)
         return self

@@ -59,15 +59,36 @@ def sliding_window_inference(
     """Tiled inference on channel-first input ``(B, C, *spatial)``.
 
     ``apply_fn({"params": params}, tile_cl)`` is called on channel-last tiles
-    ``(tile_batch, *roi, C)`` and must return channel-last logits of the same
+    ``(chunk, *roi, C)`` and must return channel-last logits of the same
     spatial size. Returns channel-first logits ``(B, out_channels, *spatial)``.
 
-    Tiles are flattened into the batch axis and run ``tile_batch`` samples per
-    forward (``lax.scan`` over chunks): a batch-1 volume no longer pays 27
-    underutilized batch-1 forwards — per-sample ops (convs, InstanceNorm) make
-    this numerically identical to the per-tile loop. The blend norm map is
-    position-static, so it is precomputed on the host as a constant.
+    Tiles are flattened into the batch axis and run up to ``tile_batch``
+    samples per forward (``lax.scan`` over chunks): a batch-1 volume no
+    longer pays 27 underutilized batch-1 forwards — per-sample ops (convs,
+    InstanceNorm) make this numerically identical to the per-tile loop.
+    NOTE: batch-coupled ops (train-mode BatchNorm, cross-sample
+    normalization) would couple tiles within a chunk; the reference's
+    InstanceNorm UNets are per-sample, matching MONAI's ``sw_batch_size``
+    semantics. ``tile_batch`` must be a static Python int (mark it static
+    if you jit over this function yourself; ``make_sliding_window_fn``
+    already does).
+
+    Memory/compute shape (round-3 ADVICE): tiles are gathered and blended
+    INSIDE the scan body — peak HBM holds one chunk of tiles/logits plus
+    the output accumulator, not all T*B tile logits. The chunk size is the
+    largest divisor of T*B that is <= tile_batch when that divisor stays
+    >= tile_batch/2 (zero padded forwards); otherwise chunks are padded and
+    pad tiles are masked out of the blend.
     """
+    import operator
+
+    try:
+        tile_batch = operator.index(tile_batch)
+    except TypeError:
+        raise TypeError(
+            "tile_batch must be a static Python int — when wrapping "
+            "sliding_window_inference in jax.jit yourself, mark it static "
+            "(static_argnames) or use make_sliding_window_fn") from None
     nd = len(roi_size)
     spatial = image.shape[2:]
     if len(spatial) != nd:
@@ -101,38 +122,59 @@ def sliding_window_inference(
     img_cl = jnp.moveaxis(image, 1, -1)  # (B, *padded, C)
     B = image.shape[0]
     C = img_cl.shape[-1]
+    total = T * B
 
-    # Gather every tile, flatten (tile, batch) into one sample axis.
-    tiles = jnp.stack([
-        jax.lax.dynamic_slice(img_cl, (0,) + tuple(pos) + (0,),
-                              (B,) + tuple(roi_size) + (C,))
-        for pos in positions
-    ])  # (T, B, *roi, C)
-    tiles = tiles.reshape((T * B,) + tuple(roi_size) + (C,))
+    # chunking: prefer the largest divisor of T*B <= tile_batch (no padded
+    # forwards); fall back to padded+masked chunks when the best divisor
+    # would underfill the MXU batch by more than half.
+    tile_batch = max(1, min(tile_batch, total))
+    chunk = max(d for d in range(1, tile_batch + 1) if total % d == 0)
+    if chunk * 2 < tile_batch and total > tile_batch:
+        chunk = tile_batch
+    n_chunks = -(-total // chunk)
+    pad_n = n_chunks * chunk - total
 
-    chunk = max(1, min(int(tile_batch), T * B))
-    n_chunks = -(-(T * B) // chunk)
-    pad_n = n_chunks * chunk - T * B
-    if pad_n:
-        tiles = jnp.concatenate([tiles, jnp.zeros((pad_n,) + tiles.shape[1:],
-                                                  tiles.dtype)])
-    tiles = tiles.reshape((n_chunks, chunk) + tuple(roi_size) + (C,))
+    # flattened tile k -> (position index t = k // B, batch row b = k % B);
+    # pad entries point at tile 0 and carry zero blend weight
+    starts_np = np.zeros((n_chunks * chunk, nd + 2), np.int32)
+    valid_np = np.zeros((n_chunks * chunk,), np.float32)
+    for k in range(total):
+        t, b = divmod(k, B)
+        starts_np[k] = (b,) + tuple(positions[t]) + (0,)
+        valid_np[k] = 1.0
+    starts = jnp.asarray(starts_np).reshape(n_chunks, chunk, nd + 2)
+    valid = jnp.asarray(valid_np).reshape(n_chunks, chunk)
 
-    def _fwd(_, t):
-        return None, apply_fn({"params": params}, t).astype(jnp.float32)
+    if out_channels is None:
+        oc = jax.eval_shape(
+            lambda t: apply_fn({"params": params}, t),
+            jax.ShapeDtypeStruct((chunk,) + tuple(roi_size) + (C,),
+                                 img_cl.dtype)).shape[-1]
+    else:
+        oc = out_channels
+    w = importance[..., None]
 
-    _, logits = jax.lax.scan(_fwd, None, tiles)  # (n_chunks, chunk, *roi, oc)
-    oc = logits.shape[-1] if out_channels is None else out_channels
-    logits = logits.reshape((n_chunks * chunk,) + tuple(roi_size) + (oc,))
-    logits = logits[: T * B].reshape((T, B) + tuple(roi_size) + (oc,))
+    def _gather(s):
+        tile = jax.lax.dynamic_slice(img_cl, s, (1,) + tuple(roi_size) + (C,))
+        return tile[0]
+
+    def _body(out, xs):
+        s, v = xs  # (chunk, nd+2), (chunk,)
+        tiles = jax.vmap(_gather)(s)  # (chunk, *roi, C)
+        logits = apply_fn({"params": params}, tiles).astype(jnp.float32)
+        # blend this chunk into the carried accumulator (O(chunk) residency)
+        def blend(j, out):
+            start = (s[j, 0],) + tuple(s[j, 1 + d] for d in range(nd)) + (0,)
+            sizes = (1,) + tuple(roi_size) + (oc,)
+            patch = jax.lax.dynamic_slice(out, start, sizes)
+            patch = patch + (logits[j] * w * v[j])[None]
+            return jax.lax.dynamic_update_slice(out, patch, start)
+
+        out = jax.lax.fori_loop(0, chunk, blend, out)
+        return out, None
 
     out = jnp.zeros((B,) + tuple(padded) + (oc,), jnp.float32)
-    w = importance[..., None]
-    for i, pos in enumerate(positions):
-        start = (0,) + tuple(pos) + (0,)
-        sizes = (B,) + tuple(roi_size) + (oc,)
-        out = jax.lax.dynamic_update_slice(
-            out, jax.lax.dynamic_slice(out, start, sizes) + logits[i] * w, start)
+    out, _ = jax.lax.scan(_body, out, (starts, valid))
 
     out = out / norm
     out = jnp.moveaxis(out, -1, 1)

@@ -31,6 +31,12 @@ def main(argv=None) -> int:
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--workdir", default=None)
         p.add_argument("--quiet", action="store_true")
+        p.add_argument("--fast", action="store_true",
+                       help="fast_science profile: batch 16 + plane_fast "
+                            "backend (non-parity synthetic runs only)")
+        p.add_argument("--chunked", action="store_true",
+                       help="one jitted dispatch per epoch (reference-scale "
+                            "runs over the TPU tunnel)")
 
     args = parser.parse_args(argv)
 
@@ -42,8 +48,12 @@ def main(argv=None) -> int:
         return 0
 
     fn = run_domain_experiment if args.cmd == "domain" else run
+    kwargs = {}
+    if args.cmd == "run":
+        kwargs = {"fast": args.fast, "chunked": args.chunked}
     result = fn(args.name, epochs=args.epochs, steps_per_epoch=args.steps,
-                seed=args.seed, workdir=args.workdir, verbose=not args.quiet)
+                seed=args.seed, workdir=args.workdir, verbose=not args.quiet,
+                **kwargs)
     summary = {k: v for k, v in result.items()
                if k in ("best_dice", "gap", "wall_time_s")}
     print(json.dumps(summary, default=float))

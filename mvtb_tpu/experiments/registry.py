@@ -84,6 +84,9 @@ class ExperimentConfig:
     # GAN experiments
     gan_lr: float = 2e-4
     gan_beta1: float = 0.5
+    # base feature width: DCGAN G/D use gan_nf directly (reference ngf=ndf=128,
+    # networks.py); ReconGAN nets use gan_nf//8 (reference nf=16)
+    gan_nf: int = 128
     nz: int = 100
     zf_p: float = 0.2
     cyclic_alpha: float = 1.0
@@ -379,3 +382,26 @@ def get(name: str) -> ExperimentConfig:
 
 def names() -> list:
     return sorted(REGISTRY)
+
+
+def fast_science(cfg: ExperimentConfig) -> ExperimentConfig:
+    """The measured fast profile for NON-PARITY synthetic-science runs
+    (round-3 VERDICT item 7): batch 16 (2.1x the vol/s of batch 4, 3.2x of
+    the reference's batch 2 — reports/train_step_profile/RESULTS.md batch
+    scaling) + the ``plane_fast`` fused Pallas backend (fastest measured,
+    1.0e-2 rel accuracy tier — BENCHMARKS.md).
+
+    Reference-parity configs must NOT go through this: batch size changes
+    BatchNorm-free training dynamics only mildly but breaks step-count
+    parity, and plane_fast's bf16 dots are outside the f32 parity tier.
+    Use for robustness_gain-style reruns where the science is a relative
+    effect, not a reference number.
+    """
+    def _fast(s):
+        return dataclasses.replace(s, fft_backend="plane_fast") \
+            if s is not None else None
+
+    return dataclasses.replace(
+        cfg, name=cfg.name + "_fast", batch_size=16,
+        train_stylize=_fast(cfg.train_stylize),
+        val_stylize=_fast(cfg.val_stylize))

@@ -301,6 +301,225 @@ def _run_segmentation_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
             "resumed_from": start_epoch}
 
 
+def _restore_chunked(ckpt, template, history, hist_path, resume, log, name,
+                     steps_per_epoch: int):
+    """Shared resume logic for the chunked runners: restore the latest full
+    state, load + truncate history to the restored epoch (a crash can land
+    between the history flush and the checkpoint save), return
+    (state, start_epoch, history)."""
+    start_epoch = 0
+    state = template
+    if resume and ckpt is not None and ckpt.latest_step is not None:
+        state = ckpt.restore(template)
+        start_epoch = int(ckpt.latest_step)
+        if hist_path and os.path.exists(hist_path):
+            with open(hist_path) as f:
+                history = json.load(f)
+        for k, v in history.items():
+            if k == "epochs":
+                history[k] = [e for e in v if e <= start_epoch]
+            elif k in ("loss", "dice"):
+                history[k] = v[:start_epoch]
+            else:  # per-step curves (trajectory, g_loss, ...)
+                history[k] = v[:start_epoch * steps_per_epoch]
+        log(f"[{name}] resumed from epoch {start_epoch}")
+    return state, start_epoch, history
+
+
+def _run_learnable_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
+                           epochs: int, seed: int, workdir: Optional[str],
+                           log, pool: int = 24, resume: bool = False) -> Dict:
+    """Reference-scale learnable-stylization training, one dispatch per epoch
+    (round-3 VERDICT item 2: the per-step path costs ~0.5 s/step in tunnel
+    dispatch — the 110-epoch GD runs of ``gibbs0p7_layer_domain_GD.py:272``
+    were effectively unrunnable). Full Orbax state checkpoints + resume with
+    continuous loss/alpha curves."""
+    from mvtb_tpu.models import GibbsUNet, SpikesUNet
+    from mvtb_tpu.train.chunked import make_learnable_chunk_fn
+    from mvtb_tpu.train.learnable import create_learnable_state
+
+    if cfg.kind == "learnable_gibbs":
+        model = GibbsUNet(alpha_init=cfg.alpha0, hard=cfg.fd_mode,
+                          out_channels=cfg.out_channels, channels=cfg.channels,
+                          strides=cfg.strides, num_res_units=cfg.num_res_units)
+    else:
+        model = SpikesUNet(intensity=cfg.spike_intensity, learnable=True,
+                           out_channels=cfg.out_channels, channels=cfg.channels,
+                           strides=cfg.strides, num_res_units=cfg.num_res_units)
+    state = create_learnable_state(
+        jax.random.key(seed), model,
+        (cfg.batch_size, cfg.in_channels) + cfg.spatial,
+        freeze_unet=cfg.freeze_unet, unet_optimizer=cfg.unet_optimizer,
+        lr=cfg.lr, weight_decay=cfg.weight_decay)
+
+    pool_i, pool_l = _pool_arrays(cfg, seed, pool)
+    chunk_fn = make_learnable_chunk_fn(
+        cfg.fd_mode and cfg.kind == "learnable_gibbs",
+        train_alpha=cfg.train_alpha, fd_h=cfg.fd_h, fd_lr=cfg.fd_lr)
+
+    ckpt = None
+    hist_path = os.path.join(workdir, "history.json") if workdir else None
+    if workdir:
+        from mvtb_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), max_to_keep=3)
+    history = {"loss": [], "trajectory": [], "epochs": []}
+    state, start_epoch, history = _restore_chunked(
+        ckpt, state, history, hist_path, resume, log, cfg.name,
+        steps_per_epoch)
+
+    rng = np.random.RandomState(seed + 7)
+    for _ in range(start_epoch):
+        rng.randint(0, pool, (steps_per_epoch, cfg.batch_size))
+    key = jax.random.fold_in(jax.random.key(seed + 1), start_epoch)
+
+    t0 = time.time()
+    for epoch in range(start_epoch, epochs):
+        idxs = jnp.asarray(rng.randint(0, pool,
+                                       (steps_per_epoch, cfg.batch_size)))
+        state, key, loss, traj = chunk_fn(state, key, pool_i, pool_l, idxs)
+        traj = np.asarray(traj)  # one host sync per epoch
+        history["loss"].append(float(loss))
+        history["trajectory"].extend(float(a) for a in traj)
+        history["epochs"].append(epoch + 1)
+        log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
+            f"loss {history['loss'][-1]:.4f} alpha {traj[-1]:.4f} "
+            f"({(epoch + 1 - start_epoch) * steps_per_epoch / max(time.time() - t0, 1e-9):.1f} step/s)")
+        if ckpt is not None and (epoch + 1) % cfg.val_interval == 0:
+            ckpt.save(epoch + 1, state)
+        if hist_path:
+            with open(hist_path, "w") as f:
+                json.dump(history, f)
+    if ckpt is not None:
+        ckpt.wait()
+        ckpt.close()
+    if workdir:
+        from mvtb_tpu.eval.plots import save_alpha_trajectory
+
+        np.savetxt(os.path.join(workdir, f"gibbs_trajectory_{cfg.name}.txt"),
+                   np.asarray(history["trajectory"]))
+        save_alpha_trajectory(history["trajectory"], os.path.join(
+            workdir, f"trajectory_{cfg.name}.png"), title=cfg.name)
+    return {"trajectory": history["trajectory"], "losses": history["loss"],
+            "history": history, "state": state, "resumed_from": start_epoch}
+
+
+def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
+                     seed: int, workdir: Optional[str], log, pool: int = 256,
+                     resume: bool = False) -> Dict:
+    """Reference-scale GAN training, one dispatch per epoch over a
+    device-resident slice pool, with joint (G, D) Orbax checkpoints + resume
+    (round-3 VERDICT item 2: ``_run_gan`` fetched ``float(loss)`` per step
+    and had no CheckpointManager — the reference's 200-epoch runs,
+    ``50_reconstruction/dcgan.py:83-153``, were hours of pure dispatch)."""
+    from mvtb_tpu.models import (Discriminator, Generator,
+                                 ResUnetDiscriminator, ResUnetGenerator)
+    from mvtb_tpu.train.chunked import (make_dcgan_chunk_fn,
+                                        make_recon_gan_chunk_fn)
+    from mvtb_tpu.train.gan import create_gan_state
+
+    key = jax.random.key(seed)
+    pool_arr = jnp.asarray(next(_slices_iter(cfg, seed, pool)))
+
+    if cfg.kind == "dcgan":
+        g = Generator(nz=cfg.nz, ngf=cfg.gan_nf, nc=cfg.in_channels)
+        d = Discriminator(nc=cfg.in_channels, ndf=cfg.gan_nf)
+        g_state = create_gan_state(key, g, (cfg.batch_size, 1, 1, cfg.nz),
+                                   lr=cfg.gan_lr, beta1=cfg.gan_beta1)
+        d_state = create_gan_state(
+            jax.random.fold_in(key, 1), d,
+            (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,),
+            lr=cfg.gan_lr, beta1=cfg.gan_beta1)
+        chunk_fn = make_dcgan_chunk_fn(cfg.nz)
+        curve_keys = ("g_loss", "d_loss", "D_x", "D_G_z1", "D_G_z2")
+    else:
+        g = ResUnetGenerator(in_chans=cfg.in_channels, nf=max(cfg.gan_nf // 8, 2),
+                             global_residual=(cfg.kind != "gibbs_gan"))
+        d = ResUnetDiscriminator(nf=max(cfg.gan_nf // 8, 2))
+        shape = (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,)
+        g_state = create_gan_state(key, g, shape, lr=cfg.gan_lr,
+                                   beta1=cfg.gan_beta1, train_kwarg=False)
+        d_state = create_gan_state(jax.random.fold_in(key, 1), d, shape,
+                                   lr=cfg.gan_lr, beta1=cfg.gan_beta1,
+                                   train_kwarg=False)
+        chunk_fn = make_recon_gan_chunk_fn(
+            cfg.zf_p, cfg.cyclic_alpha, cfg.cyclic_gamma,
+            cfg.kind in ("recon_gan_freq", "gibbs_gan"),
+            "gibbs" if cfg.kind == "gibbs_gan" else "zf",
+            cfg.kind == "gibbs_gan")
+        curve_keys = ("g_loss", "d_loss", "adv")
+
+    ckpt = None
+    hist_path = os.path.join(workdir, "history.json") if workdir else None
+    if workdir:
+        from mvtb_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(os.path.join(workdir, "ckpt"), max_to_keep=3)
+    history = {k: [] for k in curve_keys}
+    history["epochs"] = []
+    states, start_epoch, history = _restore_chunked(
+        ckpt, {"g": g_state, "d": d_state}, history, hist_path, resume, log,
+        cfg.name, steps_per_epoch)
+    g_state, d_state = states["g"], states["d"]
+
+    rng = np.random.RandomState(seed + 7)
+    for _ in range(start_epoch):
+        rng.randint(0, pool, (steps_per_epoch, cfg.batch_size))
+    key = jax.random.fold_in(jax.random.key(seed + 1), start_epoch)
+
+    t0 = time.time()
+    for epoch in range(start_epoch, epochs):
+        idxs = jnp.asarray(rng.randint(0, pool,
+                                       (steps_per_epoch, cfg.batch_size)))
+        g_state, d_state, key, bufs = chunk_fn(g_state, d_state, key,
+                                               pool_arr, idxs)
+        bufs = {k: np.asarray(v) for k, v in bufs.items()}  # one sync
+        for k in curve_keys:
+            history[k].extend(float(v) for v in bufs[k])
+        history["epochs"].append(epoch + 1)
+        log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
+            f"G {history['g_loss'][-1]:.3f} D {history['d_loss'][-1]:.3f} "
+            f"({(epoch + 1 - start_epoch) * steps_per_epoch / max(time.time() - t0, 1e-9):.1f} step/s)")
+        if ckpt is not None and (epoch + 1) % max(cfg.val_interval, 5) == 0:
+            ckpt.save(epoch + 1, {"g": g_state, "d": d_state})
+        if hist_path:
+            with open(hist_path, "w") as f:
+                json.dump(history, f)
+    if ckpt is not None:
+        ckpt.wait()
+        ckpt.close()
+
+    result = {"history": history, "g_state": g_state, "d_state": d_state,
+              "resumed_from": start_epoch}
+    if cfg.kind == "dcgan":
+        from mvtb_tpu.eval.fid import dcgan_fid
+
+        data_it = _slices_iter(cfg, seed + 999, cfg.batch_size)
+        fid = dcgan_fid(g_state, d_state,
+                        [next(data_it) for _ in range(4)],
+                        jax.random.key(777), nz=cfg.nz)
+        log(f"[{cfg.name}] frozen-encoder FID {fid:.2f}")
+        result["fid"] = fid
+    if workdir:
+        from mvtb_tpu.eval.plots import save_image_grid
+
+        if cfg.kind == "dcgan":
+            z = jax.random.normal(jax.random.key(123), (16, 1, 1, cfg.nz))
+            fake = g_state.apply_fn(
+                {"params": g_state.params,
+                 "batch_stats": g_state.batch_stats}, z, train=False)
+            save_image_grid(np.asarray(fake), os.path.join(
+                workdir, f"samples_{cfg.name}.png"), nrow=4,
+                title=f"{cfg.name} samples")
+        else:
+            real = pool_arr[:cfg.batch_size]
+            fake = g_state.apply_fn({"params": g_state.params}, real)
+            save_image_grid(np.asarray(fake[..., :1]), os.path.join(
+                workdir, f"samples_{cfg.name}.png"), nrow=4,
+                title=f"{cfg.name} reconstructions")
+    return result
+
+
 def _run_learnable(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                    seed: int, workdir: Optional[str], log) -> Dict:
     from mvtb_tpu.models import GibbsUNet, SpikesUNet
@@ -373,8 +592,8 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     history = {"g_loss": [], "d_loss": []}
 
     if cfg.kind == "dcgan":
-        g = Generator(nz=cfg.nz, ngf=128, nc=cfg.in_channels)
-        d = Discriminator(nc=cfg.in_channels, ndf=128)
+        g = Generator(nz=cfg.nz, ngf=cfg.gan_nf, nc=cfg.in_channels)
+        d = Discriminator(nc=cfg.in_channels, ndf=cfg.gan_nf)
         g_state = create_gan_state(key, g, (cfg.batch_size, 1, 1, cfg.nz),
                                    lr=cfg.gan_lr, beta1=cfg.gan_beta1)
         d_state = create_gan_state(
@@ -412,9 +631,9 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                 "d_state": d_state}
 
     # ReconGAN family
-    g = ResUnetGenerator(in_chans=cfg.in_channels, nf=16,
+    g = ResUnetGenerator(in_chans=cfg.in_channels, nf=max(cfg.gan_nf // 8, 2),
                          global_residual=(cfg.kind != "gibbs_gan"))
-    d = ResUnetDiscriminator(nf=16)
+    d = ResUnetDiscriminator(nf=max(cfg.gan_nf // 8, 2))
     shape = (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,)
     g_state = create_gan_state(key, g, shape, lr=cfg.gan_lr,
                                beta1=cfg.gan_beta1, train_kwarg=False)
@@ -534,19 +753,24 @@ def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
         steps_per_epoch: int = 8, seed: int = 0,
         workdir: Optional[str] = None, verbose: bool = True,
         val_batches: int = 12, chunked: bool = False, resume: bool = False,
-        pool: int = 48) -> Dict:
+        pool: int = 48, fast: bool = False) -> Dict:
     """Run one experiment end-to-end; returns history + final state(s).
 
     ``epochs`` overrides the config (use small values for smoke runs; the
     registry holds the reference's full training lengths). ``val_batches``
     sizes the fixed held-out set used for best-checkpoint selection.
-    ``chunked=True`` (segmentation only) dispatches one jitted fori_loop
-    chunk per epoch over a ``pool``-volume device-resident pool — the
-    reference-scale invocation (epochs=180, steps_per_epoch=194, the T1
-    training length) runs this way; ``resume=True`` continues from the
-    latest Orbax checkpoint in ``workdir`` with continuous curves.
+    ``chunked=True`` dispatches one jitted fori_loop chunk per epoch over a
+    ``pool``-sample device-resident pool — the reference-scale invocations
+    (segmentation 180x194xb2, learnable-GD 110 epochs, GAN 200 epochs) all
+    run this way; ``resume=True`` continues from the latest Orbax checkpoint
+    in ``workdir`` with continuous curves. All three experiment families
+    (segmentation, learnable, GAN) support chunked + checkpointed dispatch.
     """
     cfg = get_config(config) if isinstance(config, str) else config
+    if fast:
+        from mvtb_tpu.experiments.registry import fast_science
+
+        cfg = fast_science(cfg)
     epochs = cfg.epochs if epochs is None else epochs
     log = print if verbose else (lambda *_: None)
     if workdir:
@@ -561,8 +785,16 @@ def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
     elif cfg.kind == "segmentation":
         result = _run_segmentation(cfg, steps_per_epoch, epochs, seed, workdir,
                                    log, val_batches=val_batches)
+    elif cfg.kind in ("learnable_gibbs", "learnable_spikes") and chunked:
+        result = _run_learnable_chunked(cfg, steps_per_epoch, epochs, seed,
+                                        workdir, log, pool=min(pool, 24),
+                                        resume=resume)
     elif cfg.kind in ("learnable_gibbs", "learnable_spikes"):
         result = _run_learnable(cfg, steps_per_epoch, epochs, seed, workdir, log)
+    elif cfg.kind in ("dcgan", "recon_gan", "recon_gan_freq", "gibbs_gan") \
+            and chunked:
+        result = _run_gan_chunked(cfg, steps_per_epoch, epochs, seed, workdir,
+                                  log, pool=max(pool, 256), resume=resume)
     elif cfg.kind in ("dcgan", "recon_gan", "recon_gan_freq", "gibbs_gan"):
         result = _run_gan(cfg, steps_per_epoch, epochs, seed, workdir, log)
     else:

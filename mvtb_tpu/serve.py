@@ -82,6 +82,26 @@ def export_fn(fn: Callable, example_args: tuple, *,
     return bytes(exp.serialize())
 
 
+def export_sharded_fn(fn: Callable, example_args: tuple, *,
+                      in_shardings, out_shardings=None,
+                      platforms: Optional[Sequence[str]] = None) -> bytes:
+    """Serialize a SHARDED program: ``jit(fn, in_shardings=...)`` traced at
+    ``example_args``'s avals over the shardings' mesh.
+
+    The artifact records the device-assignment topology; reload with
+    :func:`load_fn` and call under a mesh with the same device count (the
+    multi-chip serving path — SURVEY §2.5 parallelism obligations, exercised
+    by ``__graft_entry__.dryrun_multichip``).
+    """
+    jitted = jax.jit(fn, in_shardings=in_shardings,
+                     out_shardings=out_shardings)
+    exp = jax_export.export(
+        jitted,
+        platforms=tuple(platforms) if platforms else tuple(default_platforms()),
+    )(*_abstractify(example_args))
+    return bytes(exp.serialize())
+
+
 def load_fn(blob: bytes, *, jit: bool = True) -> Callable:
     """Inverse of :func:`export_fn`: bytes -> callable.
 

@@ -55,6 +55,121 @@ def make_chunk_fn(stylize: Optional[StylizeConfig]) -> Callable:
     return chunk_fn
 
 
+def make_learnable_chunk_fn(fd_mode: bool, train_alpha: bool = True,
+                            fd_h: float = 0.01, fd_lr: float = 0.02
+                            ) -> Callable:
+    """Chunked dispatch for the learnable-stylization family (round-3 gap:
+    ``_run_learnable`` fetched ``float(loss)`` every step — hours of pure
+    tunnel dispatch at the reference's 110-epoch GD length,
+    ``gibbs0p7_layer_domain_GD.py:272``).
+
+    Returns ``chunk_fn(state, key, pool_i, pool_l, idxs) -> (state, key,
+    mean_loss, alpha_traj)`` where ``alpha_traj`` is the per-step (K,)
+    stylization-parameter trajectory — the reference logs alpha after every
+    step (``gibbs_trajectory_*.txt``), so the trajectory rides the loop
+    carry at full resolution instead of costing K host syncs.
+    """
+    from mvtb_tpu.train.learnable import fd_train_step, learnable_train_step
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def chunk_fn(state: TrainState, key: jax.Array, pool_i: Array,
+                 pool_l: Array, idxs: Array):
+        def body(i, carry):
+            state, key, acc, traj = carry
+            key, sub = jax.random.split(key)
+            img = jnp.take(pool_i, idxs[i], axis=0)
+            lbl = jnp.take(pool_l, idxs[i], axis=0)
+            if fd_mode:
+                state, loss, alpha = fd_train_step(state, img, lbl, sub,
+                                                   h=fd_h, lr=fd_lr)
+            else:
+                state, loss, alpha = learnable_train_step(
+                    state, img, lbl, sub, train_alpha=train_alpha)
+            traj = jax.lax.dynamic_update_index_in_dim(
+                traj, alpha.astype(jnp.float32), i, 0)
+            return (state, key, acc + loss.astype(jnp.float32), traj)
+
+        n = idxs.shape[0]
+        state, key, total, traj = jax.lax.fori_loop(
+            0, n, body, (state, key, jnp.float32(0),
+                         jnp.zeros((n,), jnp.float32)))
+        return state, key, total / n, traj
+
+    return chunk_fn
+
+
+def make_dcgan_chunk_fn(nz: int) -> Callable:
+    """Chunked DCGAN dispatch: K iterations of :func:`~mvtb_tpu.train.gan.
+    dcgan_step` per device round-trip over a resident slice pool.
+
+    Returns ``chunk_fn(g_state, d_state, key, pool, idxs) -> (g_state,
+    d_state, key, metrics)`` with ``metrics`` holding per-step (K,) curves
+    for g_loss/d_loss/D_x/D_G_z1/D_G_z2 — the reference prints exactly these
+    five every 50 iterations (``50_reconstruction/dcgan.py:140-148``); here
+    they come back at full per-step resolution for one fetch per chunk.
+    """
+    from mvtb_tpu.train.gan import dcgan_step
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def chunk_fn(g_state, d_state, key: jax.Array, pool: Array, idxs: Array):
+        n = idxs.shape[0]
+
+        def body(i, carry):
+            g_state, d_state, key, bufs = carry
+            key, kz = jax.random.split(key)
+            real = jnp.take(pool, idxs[i], axis=0)
+            z = jax.random.normal(kz, (real.shape[0], 1, 1, nz))
+            g_state, d_state, m = dcgan_step(g_state, d_state, real, z)
+            bufs = {k: jax.lax.dynamic_update_index_in_dim(
+                bufs[k], m[k].astype(jnp.float32), i, 0) for k in bufs}
+            return (g_state, d_state, key, bufs)
+
+        bufs = {k: jnp.zeros((n,), jnp.float32)
+                for k in ("g_loss", "d_loss", "D_x", "D_G_z1", "D_G_z2")}
+        g_state, d_state, key, bufs = jax.lax.fori_loop(
+            0, n, body, (g_state, d_state, key, bufs))
+        return g_state, d_state, key, bufs
+
+    return chunk_fn
+
+
+def make_recon_gan_chunk_fn(zf_p: float, alpha: float, gamma: float,
+                            freq_domain: bool, compress_kind: str,
+                            pre_corrupt_real: bool) -> Callable:
+    """Chunked ReconGAN/Gibbs-GAN dispatch (same shape as the DCGAN chunk;
+    statics close over the config like the jitted step's static_argnames).
+
+    Returns ``chunk_fn(g_state, d_state, key, pool, idxs) -> (g_state,
+    d_state, key, metrics)`` with per-step (K,) g_loss/d_loss/adv curves.
+    """
+    from mvtb_tpu.train.gan import recon_gan_step
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def chunk_fn(g_state, d_state, key: jax.Array, pool: Array, idxs: Array):
+        n = idxs.shape[0]
+
+        def body(i, carry):
+            g_state, d_state, key, bufs = carry
+            key, sub = jax.random.split(key)
+            real = jnp.take(pool, idxs[i], axis=0)
+            g_state, d_state, m = recon_gan_step(
+                g_state, d_state, real, sub, zf_p=zf_p, alpha=alpha,
+                gamma=gamma, freq_domain=freq_domain,
+                compress_kind=compress_kind,
+                pre_corrupt_real=pre_corrupt_real)
+            bufs = {k: jax.lax.dynamic_update_index_in_dim(
+                bufs[k], m[k].astype(jnp.float32), i, 0) for k in bufs}
+            return (g_state, d_state, key, bufs)
+
+        bufs = {k: jnp.zeros((n,), jnp.float32)
+                for k in ("g_loss", "d_loss", "adv")}
+        g_state, d_state, key, bufs = jax.lax.fori_loop(
+            0, n, body, (g_state, d_state, key, bufs))
+        return g_state, d_state, key, bufs
+
+    return chunk_fn
+
+
 def train_chunked(state: TrainState, pool_images: Array, pool_labels: Array,
                   *, steps: int, batch_size: int, key: jax.Array,
                   stylize: Optional[StylizeConfig] = None, chunk: int = 100,

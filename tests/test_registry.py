@@ -85,3 +85,23 @@ def test_key_reference_families_present():
                      "recon_gan_freq", "gibbs_gan", "baseline_spleen",
                      "gibbs0p7_layer_GD_frozen"]:
         assert required in names, required
+
+
+def test_fast_science_profile():
+    """Round-3 VERDICT item 7: the measured fast profile for non-parity runs
+    swaps batch->16 and fft_backend->plane_fast, leaving the parity config
+    untouched."""
+    from mvtb_tpu.experiments.registry import fast_science, get
+
+    cfg = get("gibbs12p5")
+    fcfg = fast_science(cfg)
+    assert fcfg.batch_size == 16
+    assert fcfg.name == "gibbs12p5_fast"
+    assert fcfg.train_stylize.fft_backend == "plane_fast"
+    assert fcfg.val_stylize.fft_backend == "plane_fast"
+    # original untouched (frozen dataclass, but check anyway)
+    assert cfg.batch_size == 2
+    assert cfg.train_stylize.fft_backend == "auto"
+    # configs without stylize stay valid
+    base = fast_science(get("baseline"))
+    assert base.train_stylize is None and base.batch_size == 16
