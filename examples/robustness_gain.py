@@ -76,6 +76,22 @@ EVAL_ALPHAS = [float(v) for v in os.environ.get(
 EVAL_PS = [float(v) for v in os.environ.get(
     "EVAL_PS", "0.05,0.15,0.25,0.35").split(",") if v]
 SEED = int(os.environ.get("SEED", "0"))
+# fast_science profile (round-3 VERDICT item 7): batch 16 + plane_fast
+# fused backend — both independently measured wins (RESULTS.md batch table,
+# BENCHMARKS.md plane_fast row); valid here because the science is a
+# relative effect (stylized vs baseline), not a reference-parity number.
+FAST = os.environ.get("FAST", "0") == "1"
+if FAST and "BATCH" not in os.environ:
+    BATCH = 16
+FFT_BACKEND = os.environ.get("FFT_BACKEND", "plane_fast" if FAST else "auto")
+
+
+def _with_backend(sty):
+    """Pin the profile's fused backend onto a training StylizeConfig."""
+    import dataclasses
+
+    return dataclasses.replace(sty, fft_backend=FFT_BACKEND) \
+        if sty is not None else None
 
 
 def _make_pool(seed: int, n: int):
@@ -243,8 +259,8 @@ def main() -> None:
     key = jax.random.key(SEED + 1)
     for name, train_sty in [("baseline", None), (styl_name, sty)]:
         key, sub = jax.random.split(key)
-        models[name], histories[name] = _train(name, train_sty, pool_i,
-                                               pool_l, sub)
+        models[name], histories[name] = _train(name, _with_backend(train_sty),
+                                               pool_i, pool_l, sub)
 
     table = {}
     for mname, state in models.items():
@@ -300,7 +316,8 @@ def main() -> None:
     out = {"spatial": SPATIAL, "steps": STEPS, "batch": BATCH,
            "family": FAMILY, "disk_r": DISK_R, "plane_i": PLANE_I,
            "wrap_alpha": WRAP_ALPHA, "sap_p": SAP_P,
-           "pool": POOL, "val_pool": VAL_POOL,
+           "pool": POOL, "val_pool": VAL_POOL, "fast": FAST,
+           "fft_backend": FFT_BACKEND,
            "seed": SEED, "table": table, "effect": effect,
            "histories": histories}
     suffix = "" if FAMILY == "disk" else f"_{FAMILY}"

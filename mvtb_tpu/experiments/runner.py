@@ -315,9 +315,13 @@ def _restore_chunked(ckpt, template, history, hist_path, resume, log, name,
         if hist_path and os.path.exists(hist_path):
             with open(hist_path) as f:
                 history = json.load(f)
+        fid_keep = [i for i, e in enumerate(history.get("fid_epochs", []))
+                    if e <= start_epoch]
         for k, v in history.items():
-            if k == "epochs":
+            if k in ("epochs", "fid_epochs"):
                 history[k] = [e for e in v if e <= start_epoch]
+            elif k == "fid":
+                history[k] = [v[i] for i in fid_keep]
             elif k in ("loss", "dice"):
                 history[k] = v[:start_epoch]
             else:  # per-step curves (trajectory, g_loss, ...)
@@ -328,7 +332,8 @@ def _restore_chunked(ckpt, template, history, hist_path, resume, log, name,
 
 def _run_learnable_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
                            epochs: int, seed: int, workdir: Optional[str],
-                           log, pool: int = 24, resume: bool = False) -> Dict:
+                           log, pool: int = 24, resume: bool = False,
+                           ckpt_every: Optional[int] = None) -> Dict:
     """Reference-scale learnable-stylization training, one dispatch per epoch
     (round-3 VERDICT item 2: the per-step path costs ~0.5 s/step in tunnel
     dispatch — the 110-epoch GD runs of ``gibbs0p7_layer_domain_GD.py:272``
@@ -385,7 +390,8 @@ def _run_learnable_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
         log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
             f"loss {history['loss'][-1]:.4f} alpha {traj[-1]:.4f} "
             f"({(epoch + 1 - start_epoch) * steps_per_epoch / max(time.time() - t0, 1e-9):.1f} step/s)")
-        if ckpt is not None and (epoch + 1) % cfg.val_interval == 0:
+        if ckpt is not None and \
+                (epoch + 1) % (ckpt_every or cfg.val_interval) == 0:
             ckpt.save(epoch + 1, state)
         if hist_path:
             with open(hist_path, "w") as f:
@@ -406,7 +412,8 @@ def _run_learnable_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
 
 def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                      seed: int, workdir: Optional[str], log, pool: int = 256,
-                     resume: bool = False) -> Dict:
+                     resume: bool = False,
+                     ckpt_every: Optional[int] = None) -> Dict:
     """Reference-scale GAN training, one dispatch per epoch over a
     device-resident slice pool, with joint (G, D) Orbax checkpoints + resume
     (round-3 VERDICT item 2: ``_run_gan`` fetched ``float(loss)`` per step
@@ -480,8 +487,24 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
             f"G {history['g_loss'][-1]:.3f} D {history['d_loss'][-1]:.3f} "
             f"({(epoch + 1 - start_epoch) * steps_per_epoch / max(time.time() - t0, 1e-9):.1f} step/s)")
-        if ckpt is not None and (epoch + 1) % max(cfg.val_interval, 5) == 0:
-            ckpt.save(epoch + 1, {"g": g_state, "d": d_state})
+        if (epoch + 1) % (ckpt_every or max(cfg.val_interval, 5)) == 0:
+            if cfg.kind == "dcgan":
+                # FID curve at checkpoint cadence (the reference eyeballs
+                # fixed-z sample grids every 25 iters, dcgan.py:148; a
+                # frozen-encoder FID trajectory is the quantitative version)
+                from mvtb_tpu.eval.fid import dcgan_fid
+
+                fid_now = float(dcgan_fid(
+                    g_state, d_state,
+                    [np.asarray(pool_arr[i * cfg.batch_size:
+                                         (i + 1) * cfg.batch_size])
+                     for i in range(4)],
+                    jax.random.key(777), nz=cfg.nz))
+                history.setdefault("fid", []).append(fid_now)
+                history.setdefault("fid_epochs", []).append(epoch + 1)
+                log(f"[{cfg.name}] epoch {epoch + 1} FID {fid_now:.2f}")
+            if ckpt is not None:
+                ckpt.save(epoch + 1, {"g": g_state, "d": d_state})
         if hist_path:
             with open(hist_path, "w") as f:
                 json.dump(history, f)
@@ -753,7 +776,8 @@ def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
         steps_per_epoch: int = 8, seed: int = 0,
         workdir: Optional[str] = None, verbose: bool = True,
         val_batches: int = 12, chunked: bool = False, resume: bool = False,
-        pool: int = 48, fast: bool = False) -> Dict:
+        pool: int = 48, fast: bool = False,
+        ckpt_every: Optional[int] = None) -> Dict:
     """Run one experiment end-to-end; returns history + final state(s).
 
     ``epochs`` overrides the config (use small values for smoke runs; the
@@ -788,13 +812,14 @@ def run(config: Union[str, ExperimentConfig], *, epochs: Optional[int] = None,
     elif cfg.kind in ("learnable_gibbs", "learnable_spikes") and chunked:
         result = _run_learnable_chunked(cfg, steps_per_epoch, epochs, seed,
                                         workdir, log, pool=min(pool, 24),
-                                        resume=resume)
+                                        resume=resume, ckpt_every=ckpt_every)
     elif cfg.kind in ("learnable_gibbs", "learnable_spikes"):
         result = _run_learnable(cfg, steps_per_epoch, epochs, seed, workdir, log)
     elif cfg.kind in ("dcgan", "recon_gan", "recon_gan_freq", "gibbs_gan") \
             and chunked:
         result = _run_gan_chunked(cfg, steps_per_epoch, epochs, seed, workdir,
-                                  log, pool=max(pool, 256), resume=resume)
+                                  log, pool=max(pool, 256), resume=resume,
+                                  ckpt_every=ckpt_every)
     elif cfg.kind in ("dcgan", "recon_gan", "recon_gan_freq", "gibbs_gan"):
         result = _run_gan(cfg, steps_per_epoch, epochs, seed, workdir, log)
     else:
