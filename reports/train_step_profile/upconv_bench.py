@@ -31,9 +31,13 @@ Up-level shapes for the headline ResUNet (B=4, 128x128x64, channels
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from functools import partial
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 
 import jax
 import jax.numpy as jnp
@@ -46,11 +50,13 @@ enable_compilation_cache()
 import flax.linen as nn  # noqa: E402
 
 B = 4
+# (name, spatial, cin, cout, lo, hi): loop counts sized so signal >> the
+# tunnel's ~1 ms slope-noise floor even for the sub-0.1 ms small levels
 LEVELS = [
-    ("U4", (8, 8, 4), 384, 64),
-    ("U3", (16, 16, 8), 128, 32),
-    ("U2", (32, 32, 16), 64, 16),
-    ("U1", (64, 64, 32), 32, 3),
+    ("U4", (8, 8, 4), 384, 64, 60, 400),
+    ("U3", (16, 16, 8), 128, 32, 60, 400),
+    ("U2", (32, 32, 16), 64, 16, 20, 140),
+    ("U1", (64, 64, 32), 32, 3, 6, 40),
 ]
 DTYPE = jnp.bfloat16
 
@@ -148,7 +154,7 @@ def polyphase_apply(kernel, x, crop, flip=True):
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "fwd"
     rng = np.random.RandomState(0)
-    for name, sp, cin, cout in LEVELS:
+    for name, sp, cin, cout, lo, hi in LEVELS:
         x = jnp.asarray(rng.randn(B, *sp, cin).astype(np.float32))
         mod = flax_tc(cout)
         variables = jax.jit(mod.init)(jax.random.key(0), x)
@@ -189,7 +195,7 @@ def main():
                 fns["polyphase"] = lambda i, v, x: jnp.sum(
                     polyphase_apply(v["params"]["kernel"], live(i, x),
                                     crop).astype(jnp.float32))
-            res = {k: round(slope_ms(f, (variables, x)), 4)
+            res = {k: round(slope_ms(f, (variables, x), lo, hi), 4)
                    for k, f in fns.items()}
         else:
             def g(apply):
@@ -211,7 +217,7 @@ def main():
             if crop is not None:
                 fns["polyphase"] = g(lambda v, x: polyphase_apply(
                     v["params"]["kernel"], x, crop))
-            res = {k: round(slope_ms(f, (variables, x)), 4)
+            res = {k: round(slope_ms(f, (variables, x), lo, hi), 4)
                    for k, f in fns.items()}
         emit(level=name, mode=mode, shape=[B, *sp, cin], cout=cout, **res)
 
