@@ -182,6 +182,7 @@ class UNet:
     def state_dict(self):
         from flax.traverse_util import flatten_dict
 
+        self._sync_from_torch()  # pick up optimizer steps since last forward
         return {"/".join(k): np.asarray(v)
                 for k, v in flatten_dict(self._params).items()}
 
@@ -196,8 +197,18 @@ class UNet:
                              f"unexpected {have - want}")
         self._params = unflatten_dict(
             {tuple(k.split("/")): jnp.asarray(v) for k, v in sd.items()})
-        # drop stale torch views of the old weights
-        for attr in ("_torch_params", "_torch_versions", "_treedef"):
-            if hasattr(self, attr):
-                delattr(self, attr)
+        if getattr(self, "_torch_params", None) is not None:
+            # torch semantics: load_state_dict copies INTO the existing
+            # Parameter objects (optimizer bindings survive). Refresh the
+            # live views in place and re-cache versions so the next
+            # forward does not sync the (now-identical) values back.
+            import jax as _jax
+            import torch
+
+            with torch.no_grad():
+                for p, leaf in zip(self._torch_params,
+                                   _jax.tree.leaves(self._params)):
+                    p.copy_(torch.from_numpy(
+                        np.array(leaf, np.float32, copy=True)))
+            self._torch_versions = [p._version for p in self._torch_params]
         return self
