@@ -197,3 +197,41 @@ def test_sharded_export_serves_on_the_mesh():
     assert len(out.sharding.device_set) == 8  # still sharded over the mesh
     np.testing.assert_allclose(np.asarray(out), np.asarray(fwd(params_r, x)),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_export_sharded_fn_roundtrip_on_mesh():
+    """Sharded-program export/reload (round-3 VERDICT item 5): a
+    data-sharded forward exports, reloads, and matches the direct apply
+    under the same 8-device mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import flax.linen as nn
+
+    from mvtb_tpu.parallel import make_mesh
+    from mvtb_tpu.serve import export_sharded_fn
+
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(3)(x)
+
+    model = Tiny()
+    x = np.random.RandomState(0).randn(8, 4, 5).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(x))["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    def fwd(p, x):
+        return model.apply({"params": p}, x)
+
+    repl = NamedSharding(mesh, P())
+    blob = export_sharded_fn(
+        fwd, (params, x),
+        in_shardings=(jax.tree.map(lambda _: repl, params),
+                      NamedSharding(mesh, P("data"))))
+    served = load_fn(blob)
+    with jax.set_mesh(mesh):
+        out = np.asarray(served(params, jnp.asarray(x)))
+    np.testing.assert_allclose(out, np.asarray(fwd(params, jnp.asarray(x))),
+                               rtol=1e-6)
