@@ -478,11 +478,11 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     for epoch in range(start_epoch, epochs):
         idxs = jnp.asarray(rng.randint(0, pool,
                                        (steps_per_epoch, cfg.batch_size)))
-        g_state, d_state, key, bufs = chunk_fn(g_state, d_state, key,
-                                               pool_arr, idxs)
-        bufs = {k: np.asarray(v) for k, v in bufs.items()}  # one sync
-        for k in curve_keys:
-            history[k].extend(float(v) for v in bufs[k])
+        g_state, d_state, key, curves = chunk_fn(g_state, d_state, key,
+                                                 pool_arr, idxs)
+        curves = np.asarray(curves)  # ONE host fetch for all per-step rows
+        for row, k in enumerate(curve_keys):
+            history[k].extend(float(v) for v in curves[row])
         history["epochs"].append(epoch + 1)
         log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
             f"G {history['g_loss'][-1]:.3f} D {history['d_loss'][-1]:.3f} "

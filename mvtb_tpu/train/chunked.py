@@ -27,6 +27,10 @@ from mvtb_tpu.train.seg import TrainState, seg_train_step
 
 Array = jnp.ndarray
 
+# curve row order of the stacked per-step buffers the GAN chunk fns return
+DCGAN_CURVES = ("g_loss", "d_loss", "D_x", "D_G_z1", "D_G_z2")
+RECON_CURVES = ("g_loss", "d_loss", "adv")
+
 
 def make_chunk_fn(stylize: Optional[StylizeConfig]) -> Callable:
     """Build the jitted K-steps-per-dispatch training function.
@@ -103,10 +107,13 @@ def make_dcgan_chunk_fn(nz: int) -> Callable:
     dcgan_step` per device round-trip over a resident slice pool.
 
     Returns ``chunk_fn(g_state, d_state, key, pool, idxs) -> (g_state,
-    d_state, key, metrics)`` with ``metrics`` holding per-step (K,) curves
-    for g_loss/d_loss/D_x/D_G_z1/D_G_z2 — the reference prints exactly these
-    five every 50 iterations (``50_reconstruction/dcgan.py:140-148``); here
-    they come back at full per-step resolution for one fetch per chunk.
+    d_state, key, curves)`` with ``curves`` a single stacked (5, K) array of
+    per-step g_loss/d_loss/D_x/D_G_z1/D_G_z2 (``DCGAN_CURVES`` order) — the
+    reference prints exactly these five every 50 iterations
+    (``50_reconstruction/dcgan.py:140-148``). ONE array so the runner pays
+    ONE host fetch per chunk: each fetch through this machine's TPU tunnel
+    costs ~0.5 s, and five separate curve fetches were ~2 s/epoch of pure
+    round-trips in the round-4 reference-length run.
     """
     from mvtb_tpu.train.gan import dcgan_step
 
@@ -124,11 +131,11 @@ def make_dcgan_chunk_fn(nz: int) -> Callable:
                 bufs[k], m[k].astype(jnp.float32), i, 0) for k in bufs}
             return (g_state, d_state, key, bufs)
 
-        bufs = {k: jnp.zeros((n,), jnp.float32)
-                for k in ("g_loss", "d_loss", "D_x", "D_G_z1", "D_G_z2")}
+        bufs = {k: jnp.zeros((n,), jnp.float32) for k in DCGAN_CURVES}
         g_state, d_state, key, bufs = jax.lax.fori_loop(
             0, n, body, (g_state, d_state, key, bufs))
-        return g_state, d_state, key, bufs
+        return g_state, d_state, key, jnp.stack(
+            [bufs[k] for k in DCGAN_CURVES])
 
     return chunk_fn
 
@@ -140,7 +147,8 @@ def make_recon_gan_chunk_fn(zf_p: float, alpha: float, gamma: float,
     statics close over the config like the jitted step's static_argnames).
 
     Returns ``chunk_fn(g_state, d_state, key, pool, idxs) -> (g_state,
-    d_state, key, metrics)`` with per-step (K,) g_loss/d_loss/adv curves.
+    d_state, key, curves)``, ``curves`` a stacked (3, K) array of per-step
+    g_loss/d_loss/adv (``RECON_CURVES`` order; one host fetch per chunk).
     """
     from mvtb_tpu.train.gan import recon_gan_step
 
@@ -161,11 +169,11 @@ def make_recon_gan_chunk_fn(zf_p: float, alpha: float, gamma: float,
                 bufs[k], m[k].astype(jnp.float32), i, 0) for k in bufs}
             return (g_state, d_state, key, bufs)
 
-        bufs = {k: jnp.zeros((n,), jnp.float32)
-                for k in ("g_loss", "d_loss", "adv")}
+        bufs = {k: jnp.zeros((n,), jnp.float32) for k in RECON_CURVES}
         g_state, d_state, key, bufs = jax.lax.fori_loop(
             0, n, body, (g_state, d_state, key, bufs))
-        return g_state, d_state, key, bufs
+        return g_state, d_state, key, jnp.stack(
+            [bufs[k] for k in RECON_CURVES])
 
     return chunk_fn
 
