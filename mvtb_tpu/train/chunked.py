@@ -112,8 +112,11 @@ def make_dcgan_chunk_fn(nz: int) -> Callable:
     reference prints exactly these five every 50 iterations
     (``50_reconstruction/dcgan.py:140-148``). ONE array so the runner pays
     ONE host fetch per chunk: each fetch through this machine's TPU tunnel
-    costs ~0.5 s, and five separate curve fetches were ~2 s/epoch of pure
-    round-trips in the round-4 reference-length run.
+    costs ~0.5 s. Measured: a 30-epoch DCGAN drive with checkpoint/FID off
+    ran 46 jitted step/s with the single stacked fetch (1.4 s/epoch =
+    0.44 s device + ~1 s dispatch+fetch) vs 12.8 step/s for the round-4
+    reference-length run that paid five curve fetches plus its FID/ckpt
+    cadence.
     """
     from mvtb_tpu.train.gan import dcgan_step
 
