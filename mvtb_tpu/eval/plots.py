@@ -40,11 +40,19 @@ def save_per_class_curves(history: Dict, path: str,
     import matplotlib.pyplot as plt
 
     dice = history.get("dice", [])
-    n = len(class_names)
-    fig, axes = plt.subplots(1, n, figsize=(6 * n, 6))
+    # honor the model's actual class count (1-channel FLAIR configs have a
+    # single per_class entry, not the BraTS (TC, WT, ET) triple)
+    n_avail = min(len(d["per_class"]) for d in dice) if dice else 0
+    names = list(class_names)[:n_avail] if n_avail < len(class_names) \
+        else list(class_names)
+    if n_avail == 1 and len(class_names) == 3:
+        names = ["label"]
+    n = max(len(names), 1)
+    fig, axes = plt.subplots(1, n, figsize=(6 * n, 6), squeeze=False)
+    axes = axes[0]
     fig.suptitle(title)
     epochs = history.get("epochs") or list(range(1, len(dice) + 1))
-    for i, name in enumerate(class_names):
+    for i, name in enumerate(names):
         vals = [d["per_class"][i] for d in dice]
         axes[i].set_title(f"Val mean Dice {name}")
         axes[i].plot(epochs, vals)
