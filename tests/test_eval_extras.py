@@ -155,3 +155,16 @@ def test_sliding_window_low_memory_matches_fast_path():
                                     v["params"], low_memory=True, **kw)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(lowm),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_per_class_curves_single_channel(tmp_path):
+    """1-channel FLAIR configs have one per_class entry — the plot helper
+    must not assume the BraTS (TC, WT, ET) triple (round-4 regression:
+    crashed AFTER a 19-min reference-scale combo run)."""
+    from mvtb_tpu.eval.plots import save_per_class_curves
+
+    history = {"dice": [{"mean": 0.5, "per_class": [0.5]},
+                        {"mean": 0.6, "per_class": [0.6]}],
+               "epochs": [2, 4], "loss": [1.0, 0.8]}
+    p = save_per_class_curves(history, str(tmp_path / "one.png"))
+    assert os.path.exists(p)
