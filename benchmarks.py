@@ -638,6 +638,17 @@ def main():
         " (tests/test_native_nifti.py).",
         "",
     ]
+    # preserve hand-measured sections (one-off runs not reproduced by this
+    # script, e.g. the round-4 reference-length training records) across
+    # regenerations: everything from the marker onward is carried over.
+    marker = "## Round-4 measured decisions"
+    try:
+        with open("BENCHMARKS.md") as f:
+            old = f.read()
+        if marker in old:
+            lines.append(old[old.index(marker):])
+    except FileNotFoundError:
+        pass
     with open("BENCHMARKS.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote BENCHMARKS.md")
