@@ -9,6 +9,7 @@ experiments runner when no real dataset root is configured.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Tuple
 
 import numpy as np
@@ -189,13 +190,48 @@ def cached_batches(seed: int, batch_size: int, pool: int = 32,
     its NIfTI decode + preprocessing) is paid once, so a 1-core host can feed
     the TPU at step rate.
     """
+    imgs, lbls = generate_pool(seed, pool, channels, spatial, n_classes, kind)
+    # dedicated sampling stream (NOT the post-generation generator state, so
+    # a disk-cached pool yields the same batch sequence as a fresh one)
+    rng = np.random.RandomState((seed * 1000003 + 12345) % (2 ** 31))
+    while True:
+        idx = rng.randint(0, pool, batch_size)
+        yield imgs[idx], lbls[idx]
+
+
+def generate_pool(seed: int, pool: int, channels: int,
+                  spatial: Tuple[int, ...], n_classes: int, kind: str,
+                  cache_dir: str = "/tmp/mvtb_pools"
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic synthetic volume pool with a host-side disk cache.
+
+    Textured-volume synthesis runs on the 1-core host and was paid on
+    EVERY launch (resumes included). The pool is a pure function of the
+    key, so cache it: first generation writes ``{kind}_{seed}_... .npz``;
+    later runs load from disk. Measured at the full-scale key (48+24
+    volumes, 128x128x64x4ch): "pools ready" 113 s fresh -> 65 s cached —
+    the remaining cost is the ~1.2 GB host->device upload through the TPU
+    tunnel, which no host cache can remove. Delete the directory to force
+    regeneration; set ``cache_dir=None`` to disable.
+    """
+    key = (f"{kind}_s{seed}_n{pool}_c{channels}_"
+           f"{'x'.join(map(str, spatial))}_k{n_classes}")
+    path = os.path.join(cache_dir, key + ".npz") if cache_dir else None
+    if path and os.path.exists(path):
+        with np.load(path) as z:
+            return z["imgs"], z["lbls"]
     gen = _GENERATORS[kind]
     rng = np.random.RandomState(seed)
     volumes = [gen(rng, channels, spatial, n_classes) for _ in range(pool)]
-    while True:
-        idx = rng.randint(0, pool, batch_size)
-        yield (np.stack([volumes[i][0] for i in idx]),
-               np.stack([volumes[i][1] for i in idx]))
+    imgs = np.stack([v[0] for v in volumes])
+    lbls = np.stack([v[1] for v in volumes])
+    if path:
+        os.makedirs(cache_dir, exist_ok=True)
+        # .npz suffix on the temp name: np.savez appends one otherwise
+        tmp = path + f".{os.getpid()}.tmp.npz"
+        np.savez(tmp, imgs=imgs, lbls=lbls)  # uncompressed: load speed
+        os.replace(tmp, path)
+    return imgs, lbls
 
 
 def decathlon_style_dicts(seed: int, n: int, channels: int = 4,

@@ -156,3 +156,21 @@ def test_textured_domain_loaders_protocol():
     assert batch["label"].shape == (2, 1, 16, 16, 8)
     hold = next(iter(vals["holdout"]))
     assert hold["image"].shape[1:] == (1, 16, 16, 8)
+
+
+def test_generate_pool_disk_cache_roundtrip(tmp_path):
+    """Pool generation is a pure function of its key; the disk cache returns
+    bit-identical arrays and survives a second call (round-4: every launch
+    was paying ~240 s of 1-core pool synthesis, resumes included)."""
+    from mvtb_tpu.data.synthetic import generate_pool
+
+    a = generate_pool(7, 3, 2, (16, 16, 8), 1, "textured",
+                      cache_dir=str(tmp_path))
+    assert (tmp_path / "textured_s7_n3_c2_16x16x8_k1.npz").exists()
+    b = generate_pool(7, 3, 2, (16, 16, 8), 1, "textured",
+                      cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    # uncached call gives the same volumes (cache is transparent)
+    c = generate_pool(7, 3, 2, (16, 16, 8), 1, "textured", cache_dir=None)
+    np.testing.assert_array_equal(a[0], c[0])
