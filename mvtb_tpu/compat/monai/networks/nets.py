@@ -23,6 +23,21 @@ into the flax tree. Cost note: backward re-runs the forward inside the
 jitted value_and_grad (the facade forward's activations are not reused), so
 one loop iteration is ~2 forwards + 1 backward — fine at compat-test scale;
 production training uses the TPU-native jitted steps (``train/seg.py``).
+
+The facade is a real ``torch.nn.Module`` subclass so it composes inside
+user-defined modules — the learnable-layer scripts build their own
+
+    class Gibbs_UNet(nn.Module):
+        def __init__(self, alpha): self.gibbs = GibbsNoiseLayer(alpha);
+                                   self.ResUnet = UNet(...)
+
+(``gibbs0p7_layer_domain_GD.py:192-212``) and call
+``Adam(model.parameters(), ...)`` on the composition: the flax leaves are
+registered as named parameters, so ``nn.Module.parameters()`` recursion
+finds them. Device moves (``.to(cuda)``, ``.float()``) are no-ops — the
+leaves are host-side views and the jitted forward moves data to the TPU —
+via a ``_apply`` override, so ``.to(torch.device("cuda:0"))`` on a
+composition succeeds on a CPU-only torch build.
 """
 
 from __future__ import annotations
@@ -30,9 +45,10 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
+import torch
 
 
-class UNet:
+class UNet(torch.nn.Module):
     def __init__(self, dimensions: Optional[int] = None,
                  in_channels: int = 1, out_channels: int = 1,
                  channels: Sequence[int] = (16, 32, 64, 128, 256),
@@ -46,6 +62,7 @@ class UNet:
 
         from mvtb_tpu.models.unet3d import UNet as FlaxUNet
 
+        super().__init__()
         nd = spatial_dims if spatial_dims is not None else dimensions
         if nd is None:
             nd = 3
@@ -76,15 +93,33 @@ class UNet:
 
         self._fwd = jax.jit(fwd)
 
+        # register live torch Parameter views of the flax leaves so
+        # nn.Module.parameters() recursion (incl. from a composing user
+        # module) sees them; names follow the flax tree paths.
+        from flax.traverse_util import flatten_dict
+
+        leaves, self._treedef = jax.tree.flatten(self._params)
+        names = ["/".join(k) for k in sorted(flatten_dict(self._params))]
+        assert len(names) == len(leaves)
+        self._torch_params = [
+            torch.nn.Parameter(
+                torch.from_numpy(np.array(leaf, np.float32, copy=True)))
+            for leaf in leaves
+        ]
+        for name, p in zip(names, self._torch_params):
+            self.register_parameter(name.replace(".", "_"), p)
+        self._torch_versions = [p._version for p in self._torch_params]
+
     # torch-module surface -------------------------------------------------
 
     def to(self, device=None, *args, **kwargs):
         return self
 
-    def train(self, mode: bool = True):
-        return self
-
-    def eval(self):
+    def _apply(self, fn, recurse=True):
+        # Parameters are host-side views of the flax tree: device moves /
+        # dtype casts are no-ops (the jitted forward moves data to the TPU),
+        # and this keeps `.to(torch.device("cuda:0"))` on a composing module
+        # from touching CUDA on a CPU-only torch build.
         return self
 
     def _sync_from_torch(self):
@@ -105,7 +140,7 @@ class UNet:
         self._params = jax.tree.unflatten(self._treedef, leaves)
         self._torch_versions = versions
 
-    def __call__(self, x):
+    def forward(self, x):
         from .._tensor import ArrayTensor
 
         self._sync_from_torch()
@@ -117,34 +152,11 @@ class UNet:
         out._mvtb_input = x_np
         return out
 
-    def forward(self, x):
-        return self(x)
-
-    def parameters(self):
-        """Live ``torch.nn.Parameter`` views of the jax leaves, in
-        ``jax.tree.flatten`` order. ``loss.backward()`` populates their
-        ``.grad``; an optimizer step on them is synced back into the flax
-        tree on the next forward (see :meth:`_sync_from_torch`)."""
-        import jax
-        import torch
-
-        if getattr(self, "_torch_params", None) is None:
-            leaves, self._treedef = jax.tree.flatten(self._params)
-            self._torch_params = [
-                torch.nn.Parameter(
-                    torch.from_numpy(np.array(leaf, np.float32, copy=True)))
-                for leaf in leaves
-            ]
-            self._torch_versions = [p._version for p in self._torch_params]
-        return iter(self._torch_params)
-
     def _accumulate_torch_grads(self, grads):
         """Scatter a flax grad tree into ``.grad`` on the torch parameters,
         accumulating like torch autograd (the reference zeroes per step)."""
         import jax
-        import torch
 
-        list(self.parameters())  # materialize views if not yet built
         for p, g in zip(self._torch_params, jax.tree.leaves(grads)):
             # np.array (not ascontiguousarray — it promotes 0-d to (1,),
             # breaking scalar params like PReLU slopes); copy=True gives
@@ -179,14 +191,40 @@ class UNet:
             cache[loss_cfg] = jax.jit(jax.value_and_grad(loss_from_params))
         return cache[loss_cfg]
 
-    def state_dict(self):
+    def state_dict(self, *args, destination=None, prefix="", keep_vars=False):
+        """Flax-keyed state dict ("enc/conv/kernel"-style names). Cooperates
+        with ``nn.Module.state_dict`` recursion from a composing module
+        (``destination``/``prefix`` protocol), so ``torch.save(
+        composition.state_dict(), ...)`` in the reference scripts works."""
         from flax.traverse_util import flatten_dict
 
-        self._sync_from_torch()  # pick up optimizer steps since last forward
-        return {"/".join(k): np.asarray(v)
-                for k, v in flatten_dict(self._params).items()}
+        if args:  # legacy positional (destination, prefix, keep_vars)
+            destination = args[0]
+            if len(args) > 1:
+                prefix = args[1]
 
-    def load_state_dict(self, sd, strict: bool = True):
+        self._sync_from_torch()  # pick up optimizer steps since last forward
+        items = {prefix + "/".join(k): np.asarray(v)
+                 for k, v in flatten_dict(self._params).items()}
+        if destination is None:
+            return items
+        destination.update(items)
+        return destination
+
+    def _set_params(self, params):
+        """Install a new flax tree and refresh the live torch views in place
+        (torch semantics: ``load_state_dict`` copies INTO the existing
+        Parameter objects so optimizer bindings survive)."""
+        import jax
+
+        self._params = params
+        with torch.no_grad():
+            for p, leaf in zip(self._torch_params, jax.tree.leaves(params)):
+                p.copy_(torch.from_numpy(
+                    np.array(leaf, np.float32, copy=True)))
+        self._torch_versions = [p._version for p in self._torch_params]
+
+    def load_state_dict(self, sd, strict: bool = True, assign: bool = False):
         import jax.numpy as jnp
         from flax.traverse_util import flatten_dict, unflatten_dict
 
@@ -195,20 +233,28 @@ class UNet:
         if strict and want != have:
             raise ValueError(f"state_dict mismatch: missing {want - have}, "
                              f"unexpected {have - want}")
-        self._params = unflatten_dict(
-            {tuple(k.split("/")): jnp.asarray(v) for k, v in sd.items()})
-        if getattr(self, "_torch_params", None) is not None:
-            # torch semantics: load_state_dict copies INTO the existing
-            # Parameter objects (optimizer bindings survive). Refresh the
-            # live views in place and re-cache versions so the next
-            # forward does not sync the (now-identical) values back.
-            import jax as _jax
-            import torch
-
-            with torch.no_grad():
-                for p, leaf in zip(self._torch_params,
-                                   _jax.tree.leaves(self._params)):
-                    p.copy_(torch.from_numpy(
-                        np.array(leaf, np.float32, copy=True)))
-            self._torch_versions = [p._version for p in self._torch_params]
+        self._set_params(unflatten_dict(
+            {tuple(k.split("/")): jnp.asarray(v) for k, v in sd.items()}))
         return self
+
+    def _load_from_state_dict(self, state_dict, prefix, local_metadata,
+                              strict, missing_keys, unexpected_keys,
+                              error_msgs):
+        """torch recursion protocol: lets ``composition.load_state_dict``
+        (``nn.Module`` machinery on a user-defined wrapper) restore this
+        facade from its ``prefix``-scoped flax-keyed entries."""
+        import jax.numpy as jnp
+        from flax.traverse_util import flatten_dict, unflatten_dict
+
+        flat = flatten_dict(self._params)
+        sub, missing = {}, []
+        for k in flat:
+            name = prefix + "/".join(k)
+            if name in state_dict:
+                sub[k] = jnp.asarray(state_dict[name])
+            else:
+                missing.append(name)
+        if missing:
+            missing_keys.extend(missing)
+            return
+        self._set_params(unflatten_dict(sub))

@@ -284,6 +284,174 @@ def test_training_half_runs_verbatim_via_grad_bridge(root_dir):
     assert epoch_loss_values[-1] < epoch_loss_values[0]
 
 
+def test_gd_family_runs_verbatim(tmp_path):
+    """Round-4 VERDICT item 3: the learnable-layer (GD) script family runs
+    verbatim through the shim. This test is line-shaped on
+    ``gibbs0p7_layer_domain_GD.py:192-298,307-346,383-386``: a user-defined
+    ``Gibbs_UNet(nn.Module)`` composing the torch-facade ``GibbsNoiseLayer``
+    with the shim UNet; Adam backprop on ``model.parameters()`` through the
+    grad bridge; ``@torch.no_grad()`` finite-difference updates that read
+    ``model.gibbs.alpha.clone()`` and assign ``model.gibbs.alpha``; val Dice
+    + ``torch.save(model.state_dict())``; ``np.savetxt`` trajectory. Only
+    shapes/h/lr are scaled for test speed (like the T1 loop test scales the
+    UNet)."""
+    import os
+
+    import torch
+    import torch.nn as nn
+
+    from stylization_layers import GibbsNoiseLayer
+
+    set_determinism(seed=0)
+
+    class Gibbs_UNet(nn.Module):
+        """ResUnet with Gibbs layer (gibbs0p7_layer_domain_GD.py:192-212)"""
+
+        def __init__(self, alpha=None):
+            super().__init__()
+            self.gibbs = GibbsNoiseLayer(alpha)
+            self.ResUnet = UNet(
+                dimensions=3,
+                in_channels=1,
+                out_channels=1,
+                channels=(4, 8),
+                strides=(2,),
+                num_res_units=1,
+            )
+
+        def forward(self, img):
+            img = self.gibbs(img)
+            img = self.ResUnet(img)
+            return img
+
+    device = torch.device("cpu")
+    alpha = 0.7
+    model = Gibbs_UNet(alpha).to(device)
+    assert model.gibbs.alpha.detach().item() == pytest.approx(0.7)
+
+    loss_function = DiceLoss(to_onehot_y=False, sigmoid=True,
+                             squared_pred=True)
+    optimizer = torch.optim.Adam(
+        model.parameters(), 1e-2, weight_decay=1e-5, amsgrad=True)
+    n_params = sum(p.numel() for p in model.parameters() if p.requires_grad)
+    assert n_params > 0
+
+    # h/lr scaled up with the 16^3 test volume so the hard-mask radius step
+    # h * dist_max crosses k-voxels (reference h=0.01 on 128x128x64 moves
+    # the radius ~0.7 voxel; h=0.1 here moves it ~1.3)
+    @torch.no_grad()
+    def Gibbs_GD(inputs, labels, model, h=0.1, learning_rate=0.2):
+        """Function to update Gibbs layer via finite different SG"""
+        old_alpha = model.gibbs.alpha.clone()
+        outputs_0 = model(inputs)
+        loss_0 = loss_function(outputs_0, labels)
+        model.gibbs.alpha = old_alpha + h
+        outputs_h = model(inputs)
+        loss_h = loss_function(outputs_h, labels)
+        delta = (loss_h - loss_0) / h
+        model.gibbs.alpha = old_alpha - learning_rate * delta
+        return loss_0.item(), model.gibbs.alpha.item()
+
+    rng = np.random.RandomState(0)
+    batches = [
+        {"image": rng.randn(2, 1, 16, 16, 16).astype(np.float32),
+         "label": (rng.rand(2, 1, 16, 16, 16) > 0.6).astype(np.float32)}
+        for _ in range(2)
+    ]
+
+    epoch_loss_values, metric_values, gibbs_values = [], [], []
+    best_metric, best_metric_epoch = -1, -1
+    for epoch in range(2):
+        model.train()
+        epoch_loss = 0
+        step = 0
+        for batch_data in batches:
+            gibbs_values.append(model.gibbs.alpha.detach().item())
+            step += 1
+            inputs, labels = (
+                torch.as_tensor(batch_data["image"]).to(device),
+                torch.as_tensor(batch_data["label"]).to(device),
+            )
+            optimizer.zero_grad()
+            outputs = model(inputs)
+            loss = loss_function(outputs, labels)
+            loss.backward()
+            optimizer.step()
+            epoch_loss += loss.item()
+            gibbs_loss, gibbs_alpha = Gibbs_GD(inputs, labels, model)
+            gibbs_values.append(gibbs_alpha)
+        epoch_loss /= step
+        epoch_loss_values.append(epoch_loss)
+
+        # validation half (gibbs0p7_layer_domain_GD.py:307-346)
+        model.eval()
+        with torch.no_grad():
+            dice_metric = DiceMetric(include_background=True,
+                                     reduction="mean")
+            post_trans = Compose([Activations(sigmoid=True),
+                                  AsDiscrete(threshold_values=True)])
+            metric_sum = 0.0
+            metric_count = 0
+            for val_data in batches:
+                val_inputs, val_labels = (
+                    torch.as_tensor(val_data["image"]).to(device),
+                    torch.as_tensor(val_data["label"]).to(device),
+                )
+                val_outputs = post_trans(model(val_inputs))
+                value, not_nans = dice_metric(y_pred=val_outputs,
+                                              y=val_labels)
+                not_nans = not_nans.item()
+                metric_count += not_nans
+                metric_sum += value.item() * not_nans
+            metric = metric_sum / metric_count
+            metric_values.append(metric)
+            if metric > best_metric:
+                best_metric = metric
+                best_metric_epoch = epoch + 1
+                torch.save(model.state_dict(),
+                           os.path.join(tmp_path, "gd_best.pth"))
+
+    assert all(np.isfinite(epoch_loss_values))
+    assert epoch_loss_values[-1] <= epoch_loss_values[0]
+    assert best_metric_epoch >= 1 and 0.0 <= best_metric <= 1.0
+    # the FD routine genuinely moved alpha (two distinct trajectory values)
+    assert len(set(np.round(gibbs_values, 6))) >= 2
+    np.savetxt(os.path.join(tmp_path, "gibbs_trajectory_test.txt"),
+               np.array(gibbs_values))
+
+    # the composition state_dict round-trips through torch.save into a
+    # fresh model (save the FINAL state so the forwards must agree)
+    torch.save(model.state_dict(), os.path.join(tmp_path, "gd_final.pth"))
+    fresh = Gibbs_UNet(float(model.gibbs.alpha))
+    fresh.load_state_dict(
+        torch.load(os.path.join(tmp_path, "gd_final.pth"),
+                   weights_only=False))
+    x = torch.as_tensor(batches[0]["image"])
+    np.testing.assert_allclose(np.asarray(fresh(x)),
+                               np.asarray(model(x)), rtol=2e-4, atol=1e-5)
+
+
+def test_spike_layer_facade_composes():
+    """spikes GD family shape (``spikes11_layer_domain_GD.py:191-224``):
+    spike_layer composes under nn.Module, ``intensity`` is a tensor the FD
+    routine can reassign, and a fresh RandKSpaceSpikeNoise per forward."""
+    import torch
+    import torch.nn as nn
+
+    from stylization_layers import spike_layer
+
+    layer = spike_layer(11.0)
+    assert isinstance(layer, nn.Module)
+    x = np.random.RandomState(0).randn(2, 1, 8, 8, 8).astype(np.float32)
+    y0 = np.asarray(layer(torch.as_tensor(x)))
+    assert y0.shape == x.shape and np.isfinite(y0).all()
+    old = layer.intensity.clone()
+    layer.intensity = old + 2.0
+    assert layer.intensity.item() == pytest.approx(13.0)
+    y1 = np.asarray(layer(torch.as_tensor(x)))
+    assert y1.shape == x.shape
+
+
 def test_grad_bridge_mechanics():
     """backward() fills .grad on the facade's live parameters; a manual SGD
     step changes the next forward (torch->flax sync)."""
