@@ -275,21 +275,31 @@ def build_decathlon_tree(root_dir: str, n: int = 8, channels: int = 4,
     BraTS lands, point the same pipeline at its root instead (VERDICT
     round-2 item 3, ``examples/brats_rehearsal.py``).
     """
+    import os as _os
+
+    gen = _GENERATORS[kind]
+    rng = np.random.RandomState(seed)
+    task_dir = _os.path.join(root_dir, task)
+    return _write_tree(task_dir, gen, rng, n, channels, spatial, gzip_files,
+                       affine)
+
+
+def _write_tree(task_dir, gen, rng, n, channels, spatial, gzip_files, affine,
+                squeeze_channel=False):
     import json as _json
     import os as _os
 
     from mvtb_tpu.data.nifti import write_nifti
 
-    gen = _GENERATORS[kind]
-    rng = np.random.RandomState(seed)
-    task_dir = _os.path.join(root_dir, task)
     _os.makedirs(_os.path.join(task_dir, "imagesTr"), exist_ok=True)
     _os.makedirs(_os.path.join(task_dir, "labelsTr"), exist_ok=True)
     ext = ".nii.gz" if gzip_files else ".nii"
     entries = []
     for i in range(n):
         img, lbl = gen(rng, channels, spatial, 3)
-        raw_img = np.moveaxis(img, 0, -1)  # (C,*sp) -> (*sp, C) BraTS layout
+        # BraTS layout: channel-LAST (*sp, C); TCGA volumes are plain 3-D
+        # (AddChanneld prepends the channel axis at load time)
+        raw_img = img[0] if squeeze_channel else np.moveaxis(img, 0, -1)
         raw_lbl = onehot_to_brats_ids(lbl)
         img_rel = f"imagesTr/synth_{i:03d}{ext}"
         lbl_rel = f"labelsTr/synth_{i:03d}{ext}"
@@ -299,3 +309,39 @@ def build_decathlon_tree(root_dir: str, n: int = 8, channels: int = 4,
     with open(_os.path.join(task_dir, "dataset.json"), "w") as f:
         _json.dump({"name": "synthetic-brats", "training": entries}, f)
     return task_dir
+
+
+def build_tcga_tree(root_dir: str, n_per_modality: int = 4,
+                    spatial: Tuple[int, ...] = (24, 24, 12),
+                    kind: str = "textured", seed: int = 0,
+                    affine: np.ndarray = None) -> str:
+    """Write a synthetic TCGA-style tree + per-modality JSON manifest.
+
+    The T2 (institutional-distribution) template loads
+    ``train_sequence_by_modality.json`` — a dict of modality name ->
+    ``[{"image": path, "label": path}, ...]`` — and builds four
+    ``CacheDataset``s from it (``baseline_domain.py:147-172``). Volumes are
+    single-channel NIfTI (``AddChanneld`` prepends the channel axis), labels
+    raw class ids (``WholeTumorTCGA`` binarizes them). Paths in the manifest
+    are absolute, like the reference's cluster paths.
+    """
+    import json as _json
+    import os as _os
+
+    gen = _GENERATORS[kind]
+    rng = np.random.RandomState(seed)
+    manifest = {}
+    for modality in ("FLAIR", "T1", "T1Gd", "T2"):
+        task_dir = _write_tree(_os.path.join(root_dir, modality), gen, rng,
+                               n_per_modality, 1, spatial, True, affine,
+                               squeeze_channel=True)
+        with open(_os.path.join(task_dir, "dataset.json")) as f:
+            entries = _json.load(f)["training"]
+        manifest[modality] = [
+            {k: _os.path.join(task_dir, rel) for k, rel in e.items()}
+            for e in entries
+        ]
+    with open(_os.path.join(root_dir, "train_sequence_by_modality.json"),
+              "w") as f:
+        _json.dump(manifest, f)
+    return root_dir

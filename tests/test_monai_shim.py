@@ -431,6 +431,176 @@ def test_gd_family_runs_verbatim(tmp_path):
                                np.asarray(model(x)), rtol=2e-4, atol=1e-5)
 
 
+def test_domain_template_runs_verbatim(tmp_path):
+    """Round-4 VERDICT item 5: the T2 (institutional-distribution) template
+    runs verbatim through the shim — line-shaped on
+    ``baseline_domain.py:86-320``: working-dir fallback, ReCompose train/val
+    pipelines, per-modality JSON manifest -> ``partition_dataset`` ->
+    4x ``CacheDataset`` -> ``torch.utils.data.ConcatDataset`` -> DataLoader,
+    ``WholeTumorTCGA`` labels, UNet(1->1) + DiceLoss + Adam via the grad
+    bridge, val Dice + best checkpoint, ``np.savetxt`` curves. Shapes/LR
+    scaled for test speed."""
+    import json
+    import os
+
+    import torch
+    from torch.utils.data import ConcatDataset
+
+    from monai.data import CacheDataset
+    from monai.transforms import (AddChanneld, RandFlipd,
+                                  RandScaleIntensityd, RandShiftIntensityd,
+                                  RandSpatialCropd)
+    from filters_and_operators import WholeTumorTCGA
+    from utils import ReCompose
+    from mvtb_tpu.data.synthetic import build_tcga_tree
+
+    set_determinism(seed=0)
+    root_dir = str(tmp_path)
+    build_tcga_tree(root_dir, n_per_modality=3, spatial=(24, 24, 12),
+                    affine=np.diag([1.5, 1.5, 2.0, 1.0]))
+
+    JOB_NAME = "baseline_model_sourceDist_4mods_WT"
+    working_dir = os.path.join(root_dir, JOB_NAME)
+    try:
+        os.mkdir(working_dir)
+    except Exception:
+        JOB_NAME = JOB_NAME + "_2"
+        working_dir = os.path.join(root_dir, JOB_NAME)
+        os.mkdir(working_dir)
+
+    train_transform = ReCompose([
+        LoadImaged(keys=["image", "label"]),
+        AddChanneld(keys="image"),
+        WholeTumorTCGA(keys="label"),
+        Spacingd(keys=["image", "label"], pixdim=(1.5, 1.5, 2.0),
+                 mode=("bilinear", "nearest")),
+        Orientationd(keys=["image", "label"], axcodes="RAS"),
+        RandSpatialCropd(keys=["image", "label"], roi_size=[16, 16, 8],
+                         random_size=False),
+        RandFlipd(keys=["image", "label"], prob=0.5, spatial_axis=0),
+        NormalizeIntensityd(keys="image", nonzero=True, channel_wise=True),
+        RandScaleIntensityd("image", factors=0.1, prob=0.5),
+        RandShiftIntensityd("image", offsets=0.1, prob=0.5),
+        ToTensord(keys=["image", "label"]),
+    ])
+    val_transform = ReCompose([
+        LoadImaged(keys=["image", "label"]),
+        AddChanneld(keys="image"),
+        WholeTumorTCGA(keys="label"),
+        Spacingd(keys=["image", "label"], pixdim=(1.5, 1.5, 2.0),
+                 mode=("bilinear", "nearest")),
+        Orientationd(keys=["image", "label"], axcodes="RAS"),
+        CenterSpatialCropd(keys=["image", "label"], roi_size=[16, 16, 8]),
+        NormalizeIntensityd(keys="image", nonzero=True, channel_wise=True),
+        ToTensord(keys=["image", "label"]),
+    ])
+
+    with open(os.path.join(root_dir, "train_sequence_by_modality.json")) as f:
+        data_seqs_4mods = json.load(f)
+
+    train_seq_flair, val_seq_flair = partition_dataset(
+        data_seqs_4mods["FLAIR"], [0.9, 0.1], shuffle=True, seed=0)
+    train_seq_t1, val_seq_t1 = partition_dataset(
+        data_seqs_4mods["T1"], [0.9, 0.1], shuffle=True, seed=0)
+    train_seq_t1gd, val_seq_t1gd = partition_dataset(
+        data_seqs_4mods["T1Gd"], [0.9, 0.1], shuffle=True, seed=0)
+    train_seq_t2, val_seq_t2 = partition_dataset(
+        data_seqs_4mods["T2"], [0.9, 0.1], shuffle=True, seed=0)
+
+    CACHE_NUM = 100
+    train_ds_flair = CacheDataset(train_seq_flair, train_transform,
+                                  cache_num=CACHE_NUM)
+    train_ds_t1 = CacheDataset(train_seq_t1, train_transform,
+                               cache_num=CACHE_NUM)
+    train_ds_t1gd = CacheDataset(train_seq_t1gd, train_transform,
+                                 cache_num=CACHE_NUM)
+    train_ds_t2 = CacheDataset(train_seq_t2, train_transform,
+                               cache_num=CACHE_NUM)
+    val_ds_flair = CacheDataset(val_seq_flair, val_transform, cache_num=50)
+    val_ds_t1 = CacheDataset(val_seq_t1, val_transform, cache_num=50)
+    val_ds_t1gd = CacheDataset(val_seq_t1gd, val_transform, cache_num=50)
+    val_ds_t2 = CacheDataset(val_seq_t2, val_transform, cache_num=50)
+
+    train_ds = ConcatDataset([train_ds_flair, train_ds_t1, train_ds_t1gd,
+                              train_ds_t2])
+    val_ds = ConcatDataset([val_ds_flair, val_ds_t1, val_ds_t1gd, val_ds_t2])
+    assert len(train_ds) == 8 and len(val_ds) == 4  # 2+1 split per modality
+
+    train_loader = DataLoader(train_ds, batch_size=2, shuffle=True,
+                              num_workers=4)
+    val_loader = DataLoader(val_ds, batch_size=2, shuffle=False,
+                            num_workers=4)
+
+    device = torch.device("cpu")
+    model = UNet(dimensions=3, in_channels=1, out_channels=1,
+                 channels=(4, 8), strides=(2,), num_res_units=1).to(device)
+    loss_function = DiceLoss(to_onehot_y=False, sigmoid=True,
+                             squared_pred=True)
+    optimizer = torch.optim.Adam(model.parameters(), 1e-2,
+                                 weight_decay=1e-5, amsgrad=True)
+
+    max_epochs = 2
+    val_interval = 1
+    best_metric, best_metric_epoch = -1, -1
+    epoch_loss_values, metric_values = [], []
+    for epoch in range(max_epochs):
+        model.train()
+        epoch_loss = 0
+        step = 0
+        for batch_data in train_loader:
+            step += 1
+            inputs, labels = (batch_data["image"].to(device),
+                              batch_data["label"].to(device))
+            assert inputs.shape[1:] == (1, 16, 16, 8)
+            assert set(np.unique(np.asarray(labels))) <= {0.0, 1.0}
+            optimizer.zero_grad()
+            outputs = model(inputs)
+            loss = loss_function(outputs, labels)
+            loss.backward()
+            optimizer.step()
+            epoch_loss += loss.item()
+        epoch_loss /= step
+        epoch_loss_values.append(epoch_loss)
+
+        if (epoch + 1) % val_interval == 0:
+            model.eval()
+            with torch.no_grad():
+                dice_metric = DiceMetric(include_background=True,
+                                         reduction="mean")
+                post_trans = Compose([Activations(sigmoid=True),
+                                      AsDiscrete(threshold_values=True)])
+                metric_sum, metric_count = 0.0, 0
+                for val_data in val_loader:
+                    val_inputs, val_labels = (val_data["image"].to(device),
+                                              val_data["label"].to(device))
+                    val_outputs = post_trans(model(val_inputs))
+                    value, not_nans = dice_metric(y_pred=val_outputs,
+                                                  y=val_labels)
+                    not_nans = not_nans.item()
+                    metric_count += not_nans
+                    metric_sum += value.item() * not_nans
+                metric = metric_sum / metric_count
+                metric_values.append(metric)
+                if metric > best_metric:
+                    best_metric = metric
+                    best_metric_epoch = epoch + 1
+                    torch.save(model.state_dict(),
+                               os.path.join(working_dir, JOB_NAME + ".pth"))
+
+    np.savetxt(os.path.join(working_dir,
+                            f"epoch_loss_values_{JOB_NAME}.txt"),
+               np.array(epoch_loss_values))
+    np.savetxt(os.path.join(working_dir, f"metric_values_{JOB_NAME}.txt"),
+               np.array(metric_values))
+
+    assert epoch_loss_values[-1] <= epoch_loss_values[0]
+    assert best_metric_epoch >= 1 and 0.0 <= best_metric <= 1.0
+    assert os.path.exists(os.path.join(working_dir, JOB_NAME + ".pth"))
+    loaded = np.loadtxt(os.path.join(working_dir,
+                                     f"epoch_loss_values_{JOB_NAME}.txt"))
+    np.testing.assert_allclose(loaded, epoch_loss_values)
+
+
 def test_spike_layer_facade_composes():
     """spikes GD family shape (``spikes11_layer_domain_GD.py:191-224``):
     spike_layer composes under nn.Module, ``intensity`` is a tensor the FD
