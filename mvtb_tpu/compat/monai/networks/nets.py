@@ -108,7 +108,10 @@ class UNet(torch.nn.Module):
         ]
         for name, p in zip(names, self._torch_params):
             self.register_parameter(name.replace(".", "_"), p)
-        self._torch_versions = [p._version for p in self._torch_params]
+        self._torch_versions = self._param_fingerprint()
+
+    def _param_fingerprint(self):
+        return [(p._version, p.data.data_ptr()) for p in self._torch_params]
 
     # torch-module surface -------------------------------------------------
 
@@ -126,13 +129,20 @@ class UNet(torch.nn.Module):
         """Copy (possibly optimizer-stepped) torch parameter values back into
         the flax tree. Called before every forward once ``parameters()`` has
         been materialized, so ``torch.optim.*.step()`` takes effect on the
-        next ``model(inputs)`` — the second half of the grad bridge."""
+        next ``model(inputs)`` — the second half of the grad bridge.
+
+        Change detection: torch's per-tensor ``_version`` counter (bumped by
+        every in-place op, which is how ``torch.optim`` steps write) plus
+        the storage pointer, so a ``p.data = new_tensor`` rebind is also
+        caught (round-4 ADVICE item 4). Out-of-place updates that keep the
+        same storage AND bypass versioning are not observable from outside
+        torch and are not bridged."""
         if getattr(self, "_torch_params", None) is None:
             return
         import jax
         import jax.numpy as jnp
 
-        versions = [p._version for p in self._torch_params]
+        versions = self._param_fingerprint()
         if versions == getattr(self, "_torch_versions", None):
             return  # no in-place step since the last sync
         leaves = [jnp.asarray(np.asarray(p.detach().numpy(), np.float32))
@@ -222,7 +232,7 @@ class UNet(torch.nn.Module):
             for p, leaf in zip(self._torch_params, jax.tree.leaves(params)):
                 p.copy_(torch.from_numpy(
                     np.array(leaf, np.float32, copy=True)))
-        self._torch_versions = [p._version for p in self._torch_params]
+        self._torch_versions = self._param_fingerprint()
 
     def load_state_dict(self, sd, strict: bool = True, assign: bool = False):
         import jax.numpy as jnp

@@ -214,8 +214,16 @@ def generate_pool(seed: int, pool: int, channels: int,
     tunnel, which no host cache can remove. Delete the directory to force
     regeneration; set ``cache_dir=None`` to disable.
     """
+    # the generator-source hash in the key invalidates cached pools when a
+    # generator changes (round-4 ADVICE item 3: a stale /tmp pool would
+    # silently change science-run inputs across code revisions)
+    import hashlib
+    import inspect
+
+    gen_tag = hashlib.sha1(
+        inspect.getsource(_GENERATORS[kind]).encode()).hexdigest()[:10]
     key = (f"{kind}_s{seed}_n{pool}_c{channels}_"
-           f"{'x'.join(map(str, spatial))}_k{n_classes}")
+           f"{'x'.join(map(str, spatial))}_k{n_classes}_g{gen_tag}")
     path = os.path.join(cache_dir, key + ".npz") if cache_dir else None
     if path and os.path.exists(path):
         with np.load(path) as z:

@@ -251,18 +251,24 @@ def _run_segmentation_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
     # draws the same batches the uninterrupted run would have
     for _ in range(start_epoch):
         rng.randint(0, pool, (steps_per_epoch, cfg.batch_size))
-    key = jax.random.fold_in(jax.random.key(seed + 1), start_epoch)
+    # the RNG stream is a pure function of (seed, epoch): every epoch's key
+    # is fold_in(base, epoch), NOT carried across epochs, so a resumed run
+    # replays the exact draws of an uninterrupted one (bit-exact resume;
+    # round-4 ADVICE item 1 — carrying the key made resume only batch-exact)
+    base_key = jax.random.key(seed + 1)
+    eval_key = jax.random.key(seed + 2)
 
     best = max((d["mean"] for d in history["dice"]), default=-1.0)
     t0 = time.time()
     for epoch in range(start_epoch, epochs):
         idxs = jnp.asarray(rng.randint(0, pool,
                                        (steps_per_epoch, cfg.batch_size)))
-        state, key, loss = chunk_fn(state, key, pool_i, pool_l, idxs)
+        state, _, loss = chunk_fn(state, jax.random.fold_in(base_key, epoch),
+                                  pool_i, pool_l, idxs)
         history["loss"].append(float(loss))  # one host sync per epoch
 
         if (epoch + 1) % cfg.val_interval == 0:
-            key, sub = jax.random.split(key)
+            sub = jax.random.fold_in(eval_key, epoch)
             scores = np.asarray(eval_pool(state, val_i, val_l, sub,
                                           cfg.val_stylize))
             metrics = EpochMetrics()
@@ -302,7 +308,8 @@ def _run_segmentation_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
 
 
 def _restore_chunked(ckpt, template, history, hist_path, resume, log, name,
-                     steps_per_epoch: int):
+                     steps_per_epoch: int, per_epoch_keys: tuple = (),
+                     per_step_keys: tuple = ()):
     """Shared resume logic for the chunked runners: restore the latest full
     state, load + truncate history to the restored epoch (a crash can land
     between the history flush and the checkpoint save), return
@@ -322,10 +329,15 @@ def _restore_chunked(ckpt, template, history, hist_path, resume, log, name,
                 history[k] = [e for e in v if e <= start_epoch]
             elif k == "fid":
                 history[k] = [v[i] for i in fid_keep]
-            elif k in ("loss", "dice"):
+            elif k in per_epoch_keys:
                 history[k] = v[:start_epoch]
-            else:  # per-step curves (trajectory, g_loss, ...)
+            elif k in per_step_keys:
                 history[k] = v[:start_epoch * steps_per_epoch]
+            else:  # round-4 ADVICE item 2: never guess a cadence
+                raise KeyError(
+                    f"history key {k!r} not declared per-epoch or per-step; "
+                    "a guessed truncation would silently corrupt it on "
+                    "resume")
         log(f"[{name}] resumed from epoch {start_epoch}")
     return state, start_epoch, history
 
@@ -371,18 +383,20 @@ def _run_learnable_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
     history = {"loss": [], "trajectory": [], "epochs": []}
     state, start_epoch, history = _restore_chunked(
         ckpt, state, history, hist_path, resume, log, cfg.name,
-        steps_per_epoch)
+        steps_per_epoch, per_epoch_keys=("loss",),
+        per_step_keys=("trajectory",))
 
     rng = np.random.RandomState(seed + 7)
     for _ in range(start_epoch):
         rng.randint(0, pool, (steps_per_epoch, cfg.batch_size))
-    key = jax.random.fold_in(jax.random.key(seed + 1), start_epoch)
+    base_key = jax.random.key(seed + 1)  # per-epoch fold_in: RNG-exact resume
 
     t0 = time.time()
     for epoch in range(start_epoch, epochs):
         idxs = jnp.asarray(rng.randint(0, pool,
                                        (steps_per_epoch, cfg.batch_size)))
-        state, key, loss, traj = chunk_fn(state, key, pool_i, pool_l, idxs)
+        state, _, loss, traj = chunk_fn(
+            state, jax.random.fold_in(base_key, epoch), pool_i, pool_l, idxs)
         traj = np.asarray(traj)  # one host sync per epoch
         history["loss"].append(float(loss))
         history["trajectory"].extend(float(a) for a in traj)
@@ -408,6 +422,14 @@ def _run_learnable_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
             workdir, f"trajectory_{cfg.name}.png"), title=cfg.name)
     return {"trajectory": history["trajectory"], "losses": history["loss"],
             "history": history, "state": state, "resumed_from": start_epoch}
+
+
+def _fid_reals(cfg: ExperimentConfig, seed: int):
+    """Fixed held-out real batches for FID — shared by the in-loop
+    trajectory and the final number so both score against the same real
+    distribution (round-4 ADVICE item 5)."""
+    data_it = _slices_iter(cfg, seed + 999, cfg.batch_size)
+    return [next(data_it) for _ in range(4)]
 
 
 def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
@@ -466,20 +488,21 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     history["epochs"] = []
     states, start_epoch, history = _restore_chunked(
         ckpt, {"g": g_state, "d": d_state}, history, hist_path, resume, log,
-        cfg.name, steps_per_epoch)
+        cfg.name, steps_per_epoch, per_step_keys=tuple(curve_keys))
     g_state, d_state = states["g"], states["d"]
 
     rng = np.random.RandomState(seed + 7)
     for _ in range(start_epoch):
         rng.randint(0, pool, (steps_per_epoch, cfg.batch_size))
-    key = jax.random.fold_in(jax.random.key(seed + 1), start_epoch)
+    base_key = jax.random.key(seed + 1)  # per-epoch fold_in: RNG-exact resume
 
     t0 = time.time()
     for epoch in range(start_epoch, epochs):
         idxs = jnp.asarray(rng.randint(0, pool,
                                        (steps_per_epoch, cfg.batch_size)))
-        g_state, d_state, key, curves = chunk_fn(g_state, d_state, key,
-                                                 pool_arr, idxs)
+        g_state, d_state, _, curves = chunk_fn(
+            g_state, d_state, jax.random.fold_in(base_key, epoch),
+            pool_arr, idxs)
         curves = np.asarray(curves)  # ONE host fetch for all per-step rows
         for row, k in enumerate(curve_keys):
             history[k].extend(float(v) for v in curves[row])
@@ -491,14 +514,14 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
             if cfg.kind == "dcgan":
                 # FID curve at checkpoint cadence (the reference eyeballs
                 # fixed-z sample grids every 25 iters, dcgan.py:148; a
-                # frozen-encoder FID trajectory is the quantitative version)
+                # frozen-encoder FID trajectory is the quantitative version).
+                # Real statistics come from the SAME fixed held-out batches
+                # the final FID uses (round-4 ADVICE item 5), so the curve's
+                # last point and result["fid"] are directly comparable.
                 from mvtb_tpu.eval.fid import dcgan_fid
 
                 fid_now = float(dcgan_fid(
-                    g_state, d_state,
-                    [np.asarray(pool_arr[i * cfg.batch_size:
-                                         (i + 1) * cfg.batch_size])
-                     for i in range(4)],
+                    g_state, d_state, _fid_reals(cfg, seed),
                     jax.random.key(777), nz=cfg.nz))
                 history.setdefault("fid", []).append(fid_now)
                 history.setdefault("fid_epochs", []).append(epoch + 1)
@@ -517,9 +540,7 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     if cfg.kind == "dcgan":
         from mvtb_tpu.eval.fid import dcgan_fid
 
-        data_it = _slices_iter(cfg, seed + 999, cfg.batch_size)
-        fid = dcgan_fid(g_state, d_state,
-                        [next(data_it) for _ in range(4)],
+        fid = dcgan_fid(g_state, d_state, _fid_reals(cfg, seed),
                         jax.random.key(777), nz=cfg.nz)
         log(f"[{cfg.name}] frozen-encoder FID {fid:.2f}")
         result["fid"] = fid
