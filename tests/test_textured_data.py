@@ -166,7 +166,10 @@ def test_generate_pool_disk_cache_roundtrip(tmp_path):
 
     a = generate_pool(7, 3, 2, (16, 16, 8), 1, "textured",
                       cache_dir=str(tmp_path))
-    assert (tmp_path / "textured_s7_n3_c2_16x16x8_k1.npz").exists()
+    # key carries a generator-source tag so cached pools invalidate when
+    # the generator changes (round-4 ADVICE item 3)
+    files = list(tmp_path.glob("textured_s7_n3_c2_16x16x8_k1_g*.npz"))
+    assert len(files) == 1
     b = generate_pool(7, 3, 2, (16, 16, 8), 1, "textured",
                       cache_dir=str(tmp_path))
     np.testing.assert_array_equal(a[0], b[0])
@@ -174,3 +177,22 @@ def test_generate_pool_disk_cache_roundtrip(tmp_path):
     # uncached call gives the same volumes (cache is transparent)
     c = generate_pool(7, 3, 2, (16, 16, 8), 1, "textured", cache_dir=None)
     np.testing.assert_array_equal(a[0], c[0])
+
+
+def test_generate_pool_cache_invalidates_on_generator_change(tmp_path, monkeypatch):
+    """A changed generator source must MISS the old cache entry."""
+    from mvtb_tpu.data import synthetic
+
+    a = synthetic.generate_pool(7, 2, 1, (8, 8, 4), 1, "textured",
+                                cache_dir=str(tmp_path))
+    n0 = len(list(tmp_path.glob("*.npz")))
+
+    def other_gen(rng, channels, spatial, n_classes):  # new source text
+        return synthetic.make_textured_volume(rng, channels, spatial,
+                                              n_classes)
+
+    monkeypatch.setitem(synthetic._GENERATORS, "textured", other_gen)
+    b = synthetic.generate_pool(7, 2, 1, (8, 8, 4), 1, "textured",
+                                cache_dir=str(tmp_path))
+    assert len(list(tmp_path.glob("*.npz"))) == n0 + 1  # fresh entry
+    np.testing.assert_array_equal(a[0], b[0])  # same function -> same pool
