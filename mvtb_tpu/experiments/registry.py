@@ -84,6 +84,10 @@ class ExperimentConfig:
     # GAN experiments
     gan_lr: float = 2e-4
     gan_beta1: float = 0.5
+    # GAN stability knobs, reference defaults (no smoothing, same d lr):
+    # see train/gan.py dcgan_step and the mitigated() profile
+    gan_real_label: float = 1.0
+    gan_d_lr: Optional[float] = None
     # base feature width: DCGAN G/D use gan_nf directly (reference ngf=ndf=128,
     # networks.py); ReconGAN nets use gan_nf//8 (reference nf=16)
     gan_nf: int = 128
@@ -405,3 +409,16 @@ def fast_science(cfg: ExperimentConfig) -> ExperimentConfig:
         cfg, name=cfg.name + "_fast", batch_size=16,
         train_stylize=_fast(cfg.train_stylize),
         val_stylize=_fast(cfg.val_stylize))
+
+
+def mitigated(cfg: ExperimentConfig, real_label: float = 0.9,
+              d_lr: Optional[float] = None) -> ExperimentConfig:
+    """GAN-collapse mitigation profile (round-4 VERDICT item 6): one-sided
+    label smoothing on D's real targets (default 0.9) and, optionally, a
+    TTUR-style separate D learning rate. A deliberate, measured divergence
+    from the reference loops — use for the synthetic-slice runs where the
+    reference hyperparameters D-dominance-collapse
+    (``reports/dcgan_full/README.md``; the ReconGAN runs reproduce the same
+    failure)."""
+    return dataclasses.replace(cfg, name=cfg.name + "_mitigated",
+                               gan_real_label=real_label, gan_d_lr=d_lr)

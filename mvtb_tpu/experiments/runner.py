@@ -458,8 +458,9 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         d_state = create_gan_state(
             jax.random.fold_in(key, 1), d,
             (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,),
-            lr=cfg.gan_lr, beta1=cfg.gan_beta1)
-        chunk_fn = make_dcgan_chunk_fn(cfg.nz)
+            lr=cfg.gan_d_lr or cfg.gan_lr, beta1=cfg.gan_beta1)
+        chunk_fn = make_dcgan_chunk_fn(cfg.nz,
+                                       real_label=cfg.gan_real_label)
         curve_keys = ("g_loss", "d_loss", "D_x", "D_G_z1", "D_G_z2")
     else:
         g = ResUnetGenerator(in_chans=cfg.in_channels, nf=max(cfg.gan_nf // 8, 2),
@@ -469,13 +470,13 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         g_state = create_gan_state(key, g, shape, lr=cfg.gan_lr,
                                    beta1=cfg.gan_beta1, train_kwarg=False)
         d_state = create_gan_state(jax.random.fold_in(key, 1), d, shape,
-                                   lr=cfg.gan_lr, beta1=cfg.gan_beta1,
-                                   train_kwarg=False)
+                                   lr=cfg.gan_d_lr or cfg.gan_lr,
+                                   beta1=cfg.gan_beta1, train_kwarg=False)
         chunk_fn = make_recon_gan_chunk_fn(
             cfg.zf_p, cfg.cyclic_alpha, cfg.cyclic_gamma,
             cfg.kind in ("recon_gan_freq", "gibbs_gan"),
             "gibbs" if cfg.kind == "gibbs_gan" else "zf",
-            cfg.kind == "gibbs_gan")
+            cfg.kind == "gibbs_gan", real_label=cfg.gan_real_label)
         curve_keys = ("g_loss", "d_loss", "adv")
 
     ckpt = None
@@ -643,7 +644,7 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         d_state = create_gan_state(
             jax.random.fold_in(key, 1), d,
             (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,),
-            lr=cfg.gan_lr, beta1=cfg.gan_beta1)
+            lr=cfg.gan_d_lr or cfg.gan_lr, beta1=cfg.gan_beta1)
         for epoch in range(epochs):
             for _ in range(steps_per_epoch):
                 real = jnp.asarray(next(data_it))

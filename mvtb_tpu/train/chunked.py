@@ -102,7 +102,7 @@ def make_learnable_chunk_fn(fd_mode: bool, train_alpha: bool = True,
     return chunk_fn
 
 
-def make_dcgan_chunk_fn(nz: int) -> Callable:
+def make_dcgan_chunk_fn(nz: int, real_label: float = 1.0) -> Callable:
     """Chunked DCGAN dispatch: K iterations of :func:`~mvtb_tpu.train.gan.
     dcgan_step` per device round-trip over a resident slice pool.
 
@@ -129,7 +129,8 @@ def make_dcgan_chunk_fn(nz: int) -> Callable:
             key, kz = jax.random.split(key)
             real = jnp.take(pool, idxs[i], axis=0)
             z = jax.random.normal(kz, (real.shape[0], 1, 1, nz))
-            g_state, d_state, m = dcgan_step(g_state, d_state, real, z)
+            g_state, d_state, m = dcgan_step(g_state, d_state, real, z,
+                                             real_label=real_label)
             bufs = {k: jax.lax.dynamic_update_index_in_dim(
                 bufs[k], m[k].astype(jnp.float32), i, 0) for k in bufs}
             return (g_state, d_state, key, bufs)
@@ -145,7 +146,8 @@ def make_dcgan_chunk_fn(nz: int) -> Callable:
 
 def make_recon_gan_chunk_fn(zf_p: float, alpha: float, gamma: float,
                             freq_domain: bool, compress_kind: str,
-                            pre_corrupt_real: bool) -> Callable:
+                            pre_corrupt_real: bool,
+                            real_label: float = 1.0) -> Callable:
     """Chunked ReconGAN/Gibbs-GAN dispatch (same shape as the DCGAN chunk;
     statics close over the config like the jitted step's static_argnames).
 
@@ -167,7 +169,7 @@ def make_recon_gan_chunk_fn(zf_p: float, alpha: float, gamma: float,
                 g_state, d_state, real, sub, zf_p=zf_p, alpha=alpha,
                 gamma=gamma, freq_domain=freq_domain,
                 compress_kind=compress_kind,
-                pre_corrupt_real=pre_corrupt_real)
+                pre_corrupt_real=pre_corrupt_real, real_label=real_label)
             bufs = {k: jax.lax.dynamic_update_index_in_dim(
                 bufs[k], m[k].astype(jnp.float32), i, 0) for k in bufs}
             return (g_state, d_state, key, bufs)

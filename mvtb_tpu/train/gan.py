@@ -67,12 +67,19 @@ def _apply(state: GANState, params, x, train: bool, has_bn: bool = True):
     return state.apply_fn(variables, x, train=False), None
 
 
-@partial(jax.jit, donate_argnums=(0, 1))
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("real_label",))
 def dcgan_step(g_state: GANState, d_state: GANState, real: Array,
-               z: Array) -> Tuple[GANState, GANState, Dict[str, Array]]:
+               z: Array, real_label: float = 1.0
+               ) -> Tuple[GANState, GANState, Dict[str, Array]]:
     """One DCGAN iteration (D then G), all on device.
 
     real: (B, H, W, C) in [-1, 1]; z: (B, 1, 1, nz) ~ N(0, 1).
+
+    ``real_label < 1`` enables one-sided label smoothing (Salimans et al.
+    2016) on D's real targets only — the measured mitigation for the
+    D-dominance collapse on trivially-separable synthetic slices
+    (round-4 ``reports/dcgan_full`` finding; round-4 VERDICT item 6). The
+    reference default is 1.0 (``dcgan.py:28`` real_label).
     """
 
     # ---- D update: bce(D(real), 1) + bce(D(stop_grad(G(z))), 0) ----
@@ -83,7 +90,8 @@ def dcgan_step(g_state: GANState, d_state: GANState, real: Array,
         out_real, bn1 = _apply(d_state, d_params, real, train=True)
         state1 = d_state.replace(batch_stats=bn1)
         out_fake, bn2 = _apply(state1, d_params, fake_sg, train=True)
-        loss = bce_with_logits(out_real, jnp.ones_like(out_real)) + \
+        loss = bce_with_logits(out_real,
+                               jnp.full_like(out_real, real_label)) + \
             bce_with_logits(out_fake, jnp.zeros_like(out_fake))
         return loss, (bn2, out_real, out_fake)
 
@@ -112,13 +120,14 @@ def dcgan_step(g_state: GANState, d_state: GANState, real: Array,
 
 @partial(jax.jit, donate_argnums=(0, 1),
          static_argnames=("zf_p", "alpha", "gamma", "freq_domain",
-                                   "compress_kind", "pre_corrupt_real"))
+                          "compress_kind", "pre_corrupt_real", "real_label"))
 def recon_gan_step(g_state: GANState, d_state: GANState, real: Array,
                    key: jax.Array, zf_p: float = 0.2,
                    alpha: float = 1.0, gamma: float = 10.0,
                    freq_domain: bool = False,
                    compress_kind: str = "zf",
-                   pre_corrupt_real: bool = False
+                   pre_corrupt_real: bool = False,
+                   real_label: float = 1.0
                    ) -> Tuple[GANState, GANState, Dict[str, Array]]:
     """One ReconGAN iteration (InstanceNorm nets — no batch stats).
 
@@ -164,7 +173,9 @@ def recon_gan_step(g_state: GANState, d_state: GANState, real: Array,
     def d_loss_fn(d_params):
         out_real = d_fwd(d_params, real)
         out_fake = d_fwd(d_params, fake_sg)
-        return bce_with_logits(out_real, jnp.ones_like(out_real)) + \
+        # real_label < 1: one-sided label smoothing (see dcgan_step)
+        return bce_with_logits(out_real,
+                               jnp.full_like(out_real, real_label)) + \
             bce_with_logits(out_fake, jnp.zeros_like(out_fake))
 
     d_loss, d_grads = jax.value_and_grad(d_loss_fn)(d_state.params)
