@@ -38,6 +38,15 @@ POOL = int(os.environ.get("POOL", "48"))
 VAL_POOL = int(os.environ.get("VAL_POOL", "24"))
 OUTDIR = os.environ.get("OUTDIR", "reports/cross_corruption")
 SEED = int(os.environ.get("SEED", "0"))
+# FAST=1 -> the fast_science profile (batch 16 + plane_fast fused backend,
+# registry.fast_science): non-parity synthetic-science runs only
+FAST = os.environ.get("FAST", "0") == "1"
+if FAST:
+    BATCH = int(os.environ.get("BATCH", "16"))
+# LEARNABLE=1 (default) adds the learnable-GD row: a GibbsUNet whose alpha
+# trains by jax.grad on clean data; its final-alpha model is evaluated
+# across the same corruption grid (round-4 VERDICT item 7)
+LEARNABLE = os.environ.get("LEARNABLE", "1") == "1"
 
 
 def main() -> None:
@@ -62,26 +71,31 @@ def main() -> None:
     del tr, va
     print(f"pools ready in {time.time() - t0:.0f}s", flush=True)
 
+    def _cfg(**kw):
+        if FAST:
+            kw["fft_backend"] = "plane_fast"
+        return StylizeConfig(**kw)
+
     shell = (55.0, 55.0, 30.0)
     train_grid = {
         "baseline": None,
-        "gibbs12p5": StylizeConfig(disk_r=12.5, disk_prob=1.0),
-        "planes14": StylizeConfig(plane_axes=shell, plane_intensity=14.0,
-                                  plane_prob=1.0),
-        "sap0p15": StylizeConfig(sap_p=0.15, sap_prob=1.0),
-        "wrap0p5": StylizeConfig(wrap_alpha=0.5, wrap_prob=1.0),
+        "gibbs12p5": _cfg(disk_r=12.5, disk_prob=1.0),
+        "planes14": _cfg(plane_axes=shell, plane_intensity=14.0,
+                              plane_prob=1.0),
+        "sap0p15": _cfg(sap_p=0.15, sap_prob=1.0),
+        "wrap0p5": _cfg(wrap_alpha=0.5, wrap_prob=1.0),
     }
     eval_grid = {
         "clean": None,
         "gibbs12p5": train_grid["gibbs12p5"],
-        "gibbs20": StylizeConfig(disk_r=20.0, disk_prob=1.0),
+        "gibbs20": _cfg(disk_r=20.0, disk_prob=1.0),
         "planes14": train_grid["planes14"],
-        "planes16": StylizeConfig(plane_axes=shell, plane_intensity=16.0,
-                                  plane_prob=1.0),
+        "planes16": _cfg(plane_axes=shell, plane_intensity=16.0,
+                               plane_prob=1.0),
         "sap0p15": train_grid["sap0p15"],
-        "sap0p35": StylizeConfig(sap_p=0.35, sap_prob=1.0),
+        "sap0p35": _cfg(sap_p=0.35, sap_prob=1.0),
         "wrap0p5": train_grid["wrap0p5"],
-        "wrap0": StylizeConfig(wrap_alpha=0.0, wrap_prob=1.0),
+        "wrap0": _cfg(wrap_alpha=0.0, wrap_prob=1.0),
     }
 
     models, histories = {}, {}
@@ -98,8 +112,50 @@ def main() -> None:
             sample_rng=np.random.RandomState(SEED + 17),
             log=lambda s: print(s, flush=True), name=name)
 
+    # learnable-GD row: GibbsUNet, alpha trained by plain jax.grad on clean
+    # data (the TPU-native replacement for the reference's FD loop); the
+    # final-alpha model carries its own stylization layer into evaluation,
+    # exactly how the reference's layer models are evaluated
+    # (``utils.py:286-311`` load_UNet -> Gibbs_UNet -> dataset_eval_multi)
+    learn_eval = None
+    if LEARNABLE:
+        from mvtb_tpu.eval.dice import dice_scores, threshold_predictions
+        from mvtb_tpu.models import GibbsUNet
+        from mvtb_tpu.train.chunked import make_learnable_chunk_fn
+        from mvtb_tpu.train.learnable import create_learnable_state
+
+        key, sub = jax.random.split(key)
+        lstate = create_learnable_state(
+            jax.random.key(SEED), GibbsUNet(alpha_init=0.7, out_channels=3),
+            (1, 4) + SPATIAL)
+        lchunk = make_learnable_chunk_fn(False)
+        srng = np.random.RandomState(SEED + 17)
+        done, t1 = 0, time.time()
+        traj = []
+        while done < STEPS:
+            n = min(CHUNK, STEPS - done)
+            idxs = jnp.asarray(srng.randint(0, POOL, (n, BATCH)))
+            lstate, sub, lloss, tr_a = lchunk(lstate, sub, pool_i, pool_l,
+                                              idxs)
+            done += n
+            traj.extend(float(a) for a in np.asarray(tr_a))
+            print(f"[learnable_gd] step {done}/{STEPS} loss "
+                  f"{float(lloss):.4f} alpha {traj[-1]:.4f} "
+                  f"({time.time() - t1:.0f}s)", flush=True)
+        histories["learnable_gd"] = {"alpha_trajectory_tail": traj[-20:],
+                                     "alpha_final": traj[-1]}
+
+        @jax.jit
+        def learn_eval(params, img_cf, lbl_cf):
+            logits = lstate.apply_fn({"params": params}, img_cf)
+            preds = threshold_predictions(jnp.moveaxis(logits, 1, -1))
+            return dice_scores(preds, jnp.moveaxis(lbl_cf, 1, -1))
+
     table = {}
-    for mname, state in models.items():
+    eval_rows = {m: ("seg", s) for m, s in models.items()}
+    if learn_eval is not None:
+        eval_rows["learnable_gd"] = ("learnable", lstate)
+    for mname, (kind_, state) in eval_rows.items():
         table[mname] = {}
         for ename, esty in eval_grid.items():
             metrics = EpochMetrics()
@@ -109,7 +165,10 @@ def main() -> None:
                 if esty is not None:
                     ekey, sub = jax.random.split(ekey)
                     img = stylize_batch(img, sub, esty)
-                scores = seg_eval_step(state, img, va_l[i:i + BATCH])
+                if kind_ == "seg":
+                    scores = seg_eval_step(state, img, va_l[i:i + BATCH])
+                else:
+                    scores = learn_eval(state.params, img, va_l[i:i + BATCH])
                 metrics.update(np.asarray(scores))
             res = metrics.result()
             table[mname][ename] = res
@@ -128,7 +187,7 @@ def main() -> None:
                               scores[ename] > scores["baseline"]}
 
     out = {"spatial": SPATIAL, "steps": STEPS, "batch": BATCH, "pool": POOL,
-           "val_pool": VAL_POOL, "seed": SEED, "table": table,
+           "val_pool": VAL_POOL, "seed": SEED, "fast": FAST, "table": table,
            "diagonal_summary": summary, "histories": histories}
     with open(os.path.join(OUTDIR, "matrix.json"), "w") as f:
         json.dump(out, f, indent=2)
