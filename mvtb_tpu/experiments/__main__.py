@@ -37,6 +37,11 @@ def main(argv=None) -> int:
         p.add_argument("--chunked", action="store_true",
                        help="one jitted dispatch per epoch (reference-scale "
                             "runs over the TPU tunnel)")
+        p.add_argument("--mitigated", action="store_true",
+                       help="GAN-collapse mitigation profile: one-sided "
+                            "label smoothing 0.9 (registry.mitigated)")
+        p.add_argument("--ckpt-every", type=int, default=None,
+                       help="checkpoint/FID cadence in epochs (chunked runs)")
 
     args = parser.parse_args(argv)
 
@@ -49,9 +54,15 @@ def main(argv=None) -> int:
 
     fn = run_domain_experiment if args.cmd == "domain" else run
     kwargs = {}
+    target = args.name
     if args.cmd == "run":
-        kwargs = {"fast": args.fast, "chunked": args.chunked}
-    result = fn(args.name, epochs=args.epochs, steps_per_epoch=args.steps,
+        kwargs = {"fast": args.fast, "chunked": args.chunked,
+                  "ckpt_every": args.ckpt_every}
+        if args.mitigated:
+            from mvtb_tpu.experiments.registry import get as get_cfg, mitigated
+
+            target = mitigated(get_cfg(args.name))
+    result = fn(target, epochs=args.epochs, steps_per_epoch=args.steps,
                 seed=args.seed, workdir=args.workdir, verbose=not args.quiet,
                 **kwargs)
     summary = {k: v for k, v in result.items()
