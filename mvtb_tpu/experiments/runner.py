@@ -371,7 +371,7 @@ def _run_learnable_chunked(cfg: ExperimentConfig, steps_per_epoch: int,
 
     pool_i, pool_l = _pool_arrays(cfg, seed, pool)
     chunk_fn = make_learnable_chunk_fn(
-        cfg.fd_mode and cfg.kind == "learnable_gibbs",
+        cfg.fd_mode,
         train_alpha=cfg.train_alpha, fd_h=cfg.fd_h, fd_lr=cfg.fd_lr)
 
     ckpt = None
@@ -604,7 +604,7 @@ def _run_learnable(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
             img, lbl = next(train_it)
             img, lbl = jnp.asarray(img), jnp.asarray(lbl)
             key, sub = jax.random.split(key)
-            if cfg.fd_mode and cfg.kind == "learnable_gibbs":
+            if cfg.fd_mode:
                 state, loss, alpha = fd_train_step(state, img, lbl, sub,
                                                    h=cfg.fd_h, lr=cfg.fd_lr)
             else:

@@ -59,6 +59,25 @@ def test_learnable_fd_chunked_runs(tmp_path):
     assert np.isfinite(res["trajectory"]).all()
 
 
+def test_spikes_fd_chunked_moves_intensity():
+    """fd_mode is honored for the SPIKES family too (round-5: the runner
+    used to gate FD to learnable_gibbs, silently running the spikes GD
+    configs in grad mode — their registry entries carry the reference's
+    h=0.05, lr=0.1)."""
+    cfg = ExperimentConfig(
+        name="tiny_spk_fd", kind="learnable_spikes", spatial=(16, 16, 8),
+        channels=(4, 8), strides=(2,), num_res_units=1, batch_size=2,
+        val_interval=2, epochs=1, data_kind="smooth", in_channels=4,
+        out_channels=3, spike_intensity=5.0, fd_mode=True, fd_h=0.05,
+        fd_lr=0.1)
+    res = run(cfg, epochs=1, steps_per_epoch=3, seed=0, workdir=None,
+              verbose=False, chunked=True, pool=4)
+    traj = np.asarray(res["trajectory"])
+    assert traj.shape == (3,) and np.isfinite(traj).all()
+    # the FD rule moved the intensity off its 5.0 init
+    assert len(set(np.round(traj, 8))) > 1 or abs(traj[-1] - 5.0) > 0
+
+
 def test_learnable_chunked_kill_resume(tmp_path):
     w = str(tmp_path / "w")
     part = run(_learnable_cfg("tiny_lrn_r"), epochs=2, steps_per_epoch=3,
