@@ -60,6 +60,7 @@ SEED = int(os.environ.get("SEED", "0"))
 G_LR = float(os.environ.get("G_LR", "1e-4"))
 D_LR = float(os.environ.get("D_LR", str(G_LR)))
 REAL_LABEL = float(os.environ.get("REAL_LABEL", "1.0"))
+GAMMA = os.environ.get("GAMMA")  # diagnostic override of the cyclic gamma
 
 VARIANT_KW = {
     # alpha/gamma follow the reference loops (train/gan.py docstring)
@@ -67,7 +68,9 @@ VARIANT_KW = {
                   compress_kind="zf", pre_corrupt_real=False),
     "freq": dict(zf_p=0.2, alpha=15.0, gamma=0.1, freq_domain=True,
                  compress_kind="zf", pre_corrupt_real=False),
-    "gibbs": dict(zf_p=0.2, alpha=1.0, gamma=10.0, freq_domain=False,
+    # gibbs_gan.py:33-35,131-147: the adversarial-Gibbs GAN uses the FREQ
+    # consistency loss (alpha=15, gamma=0.1), like reconGan_freq
+    "gibbs": dict(zf_p=0.2, alpha=15.0, gamma=0.1, freq_domain=True,
                   compress_kind="gibbs", pre_corrupt_real=True),
 }
 
@@ -140,7 +143,9 @@ def main():
 
     results = {}
     for variant in VARIANTS:
-        kw = VARIANT_KW[variant]
+        kw = dict(VARIANT_KW[variant])
+        if GAMMA is not None:
+            kw["gamma"] = float(GAMMA)
         t0 = time.time()
         key = jax.random.PRNGKey(SEED)
         k_init_g, k_init_d, key = jax.random.split(key, 3)
