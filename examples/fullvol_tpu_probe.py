@@ -41,28 +41,36 @@ OUTDIR = os.environ.get("OUTDIR", "reports/fullvol_probe")
 
 
 def probe(spatial, batch):
-    """(ms/step, vol/s) for the full stylize+train step, or raises."""
+    """(ms/step, vol/s, loss) for the full stylize+train step, or raises.
+
+    Measures the DIRECT per-step dispatch path: at this size one step is
+    hundreds of ms of device work, so per-step dispatch overhead is
+    negligible and the chunked fori_loop program is measurably SLOWER
+    (563-679 ms/step vs ~207 direct at 240x240x160 — the loop-resident
+    pool + carried state constrain XLA's layout/fusion choices; recorded
+    in ``chunked_ms_per_step``). Chunking is for small steps where the
+    ~0.5 s tunnel dispatch dominates.
+    """
     from mvtb_tpu.models import UNet
     from mvtb_tpu.ops.fused import StylizeConfig
     from mvtb_tpu.train import create_seg_state, reference_optimizer
     from mvtb_tpu.train.chunked import make_chunk_fn
+    from mvtb_tpu.train.seg import seg_train_step
 
     model = UNet(out_channels=3, dtype=jnp.bfloat16)
     state = create_seg_state(jax.random.key(0), model, (1, 16, 16, 16, 4),
                              tx=reference_optimizer())
     sty = StylizeConfig(disk_r=12.5, disk_prob=1.0)  # flagship Gibbs
-    chunk_fn = make_chunk_fn(sty)
-
     rng = np.random.RandomState(0)
-    pool_i = jnp.asarray(rng.randn(2, 4, *spatial).astype(np.float32))
-    pool_l = jnp.asarray((rng.rand(2, 3, *spatial) > 0.7).astype(np.float32))
-    key = jax.random.key(1)
+    img = jnp.asarray(rng.randn(batch, 4, *spatial).astype(np.float32))
+    lbl = jnp.asarray((rng.rand(batch, 3, *spatial) > 0.7).astype(np.float32))
 
     def run(k_steps):
-        idxs = jnp.asarray(rng.randint(0, 2, (k_steps, batch)))
-        nonlocal state, key
+        nonlocal state
         t0 = time.time()
-        state, key, loss = chunk_fn(state, key, pool_i, pool_l, idxs)
+        for i in range(k_steps):
+            state, loss = seg_train_step(state, img, lbl, jax.random.key(i),
+                                         sty)
         loss = float(loss)  # host fetch is the only real barrier here
         return time.time() - t0, loss
 
@@ -70,6 +78,28 @@ def probe(spatial, batch):
     t_lo, _ = run(2)
     t_hi, loss = run(12)
     ms = (t_hi - t_lo) / 10 * 1000
+
+    # chunked comparison point (one fori_loop dispatch per K steps)
+    chunk_fn = make_chunk_fn(sty)
+    cstate = create_seg_state(jax.random.key(0), model, (1, 16, 16, 16, 4),
+                              tx=reference_optimizer())
+    pool_i = jnp.concatenate([img, img])
+    pool_l = jnp.concatenate([lbl, lbl])
+    ckey = jax.random.key(1)
+
+    def crun(k_steps):
+        nonlocal cstate, ckey
+        idxs = jnp.asarray(rng.randint(0, 2, (k_steps, batch)))
+        t0 = time.time()
+        cstate, ckey, l = chunk_fn(cstate, ckey, pool_i, pool_l, idxs)
+        float(l)
+        return time.time() - t0
+
+    crun(2)
+    ct_lo = crun(2)
+    ct_hi = crun(12)
+    global CHUNKED_MS
+    CHUNKED_MS = (ct_hi - ct_lo) / 10 * 1000
     return ms, batch / (ms / 1000), loss
 
 
@@ -84,10 +114,14 @@ def main():
             out["attempts"].append({"spatial": spatial, "ok": True,
                                     "ms_per_step": round(ms, 1),
                                     "vol_per_s": round(vols, 2),
+                                    "chunked_ms_per_step":
+                                        round(globals().get("CHUNKED_MS", -1), 1),
                                     "loss": loss,
                                     "wall_s": round(time.time() - t0, 1)})
-            print(f"fullvol {spatial} b{BATCH}: {ms:.1f} ms/step "
-                  f"({vols:.2f} vol/s) loss {loss:.4f}", flush=True)
+            print(f"fullvol {spatial} b{BATCH}: {ms:.1f} ms/step direct "
+                  f"({vols:.2f} vol/s), chunked "
+                  f"{globals().get('CHUNKED_MS', -1):.1f} ms/step, "
+                  f"loss {loss:.4f}", flush=True)
             break
         except Exception as e:  # noqa: BLE001 - record OOM boundary
             msg = str(e)[:400]

@@ -52,12 +52,13 @@ def create_seg_state(key: jax.Array, model, input_shape: Tuple[int, ...],
                              tx=tx or reference_optimizer())
 
 
-@partial(jax.jit, static_argnames=("stylize_cfg", "augment_label"),
+@partial(jax.jit, static_argnames=("stylize_cfg", "augment_label", "remat"),
          donate_argnums=(0,))
 def seg_train_step(state: TrainState, image: Array, label: Array,
                    key: jax.Array,
                    stylize_cfg: Optional[StylizeConfig] = None,
-                   augment_label: bool = False) -> Tuple[TrainState, Array]:
+                   augment_label: bool = False,
+                   remat: bool = False) -> Tuple[TrainState, Array]:
     """One fwd+bwd+update step.
 
     The incoming ``state`` is DONATED: XLA updates the 4.8M-param train state
@@ -72,6 +73,13 @@ def seg_train_step(state: TrainState, image: Array, label: Array,
         stylize_cfg: fused augmentation config applied to the image (and the
             label too when ``augment_label``, for co-stylized experiments).
 
+        remat: rematerialize the forward in the backward pass
+            (``jax.checkpoint``) — trades one extra forward for dropping
+            stored activations; a memory knob for full-volume (no-crop)
+            training where the activation footprint dominates. Measured
+            LOSING at the reference crop size (RESULTS.md round-3), so
+            off by default.
+
     Returns:
         (new_state, scalar dice loss).
     """
@@ -84,8 +92,12 @@ def seg_train_step(state: TrainState, image: Array, label: Array,
     img_cl = jnp.moveaxis(image, 1, -1)
     lbl_cl = jnp.moveaxis(label, 1, -1)
 
+    fwd = state.apply_fn
+    if remat:
+        fwd = jax.checkpoint(state.apply_fn)
+
     def loss_fn(params):
-        logits = state.apply_fn({"params": params}, img_cl)
+        logits = fwd({"params": params}, img_cl)
         return dice_loss(logits, lbl_cl)
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
