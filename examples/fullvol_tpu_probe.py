@@ -41,15 +41,17 @@ OUTDIR = os.environ.get("OUTDIR", "reports/fullvol_probe")
 
 
 def probe(spatial, batch):
-    """(ms/step, vol/s, loss) for the full stylize+train step, or raises.
+    """(ms/step, vol/s, loss, chunked_ms) for the full stylize+train step.
 
-    Measures the DIRECT per-step dispatch path: at this size one step is
-    hundreds of ms of device work, so per-step dispatch overhead is
-    negligible and the chunked fori_loop program is measurably SLOWER
-    (563-679 ms/step vs ~207 direct at 240x240x160 — the loop-resident
-    pool + carried state constrain XLA's layout/fusion choices; recorded
-    in ``chunked_ms_per_step``). Chunking is for small steps where the
-    ~0.5 s tunnel dispatch dominates.
+    Measures BOTH dispatch paths. Direct per-step dispatch is the honest
+    per-step number at this size (one step is hundreds of ms of device
+    work, so dispatch overhead is negligible); the chunked fori_loop
+    program measures IDENTICAL (207.5 vs 205 ms/step at 240x240x160) ONCE
+    BOTH loop lengths are compiled before timing — bench.py's discipline.
+    Harness-integrity lesson re-learned here: a loop-slope window that
+    compiles its long program inside the timed region reported the chunk
+    as 2.9x slower (594 ms) and once as 5,931 ms (the 12-step program's
+    ~59 s compile / 10).
     """
     from mvtb_tpu.models import UNet
     from mvtb_tpu.ops.fused import StylizeConfig
@@ -95,12 +97,11 @@ def probe(spatial, batch):
         float(l)
         return time.time() - t0
 
-    crun(2)
+    crun(2)   # compile the 2-step program
+    crun(12)  # compile the 12-step program BEFORE timing
     ct_lo = crun(2)
     ct_hi = crun(12)
-    global CHUNKED_MS
-    CHUNKED_MS = (ct_hi - ct_lo) / 10 * 1000
-    return ms, batch / (ms / 1000), loss
+    return ms, batch / (ms / 1000), loss, (ct_hi - ct_lo) / 10 * 1000
 
 
 def main():
@@ -110,17 +111,16 @@ def main():
     while True:
         try:
             t0 = time.time()
-            ms, vols, loss = probe(spatial, BATCH)
+            ms, vols, loss, chunked_ms = probe(spatial, BATCH)
             out["attempts"].append({"spatial": spatial, "ok": True,
                                     "ms_per_step": round(ms, 1),
                                     "vol_per_s": round(vols, 2),
                                     "chunked_ms_per_step":
-                                        round(globals().get("CHUNKED_MS", -1), 1),
+                                        round(chunked_ms, 1),
                                     "loss": loss,
                                     "wall_s": round(time.time() - t0, 1)})
             print(f"fullvol {spatial} b{BATCH}: {ms:.1f} ms/step direct "
-                  f"({vols:.2f} vol/s), chunked "
-                  f"{globals().get('CHUNKED_MS', -1):.1f} ms/step, "
+                  f"({vols:.2f} vol/s), chunked {chunked_ms:.1f} ms/step, "
                   f"loss {loss:.4f}", flush=True)
             break
         except Exception as e:  # noqa: BLE001 - record OOM boundary

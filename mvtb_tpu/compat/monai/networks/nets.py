@@ -214,7 +214,11 @@ class UNet(torch.nn.Module):
                 prefix = args[1]
 
         self._sync_from_torch()  # pick up optimizer steps since last forward
-        items = {prefix + "/".join(k): np.asarray(v)
+        # emit torch tensors (not numpy): reference scripts reload with a
+        # bare torch.load(path), and torch>=2.6's weights_only=True default
+        # rejects numpy globals in the pickle
+        items = {prefix + "/".join(k):
+                 torch.from_numpy(np.array(v, np.float32, copy=True))
                  for k, v in flatten_dict(self._params).items()}
         if destination is None:
             return items
@@ -244,7 +248,8 @@ class UNet(torch.nn.Module):
             raise ValueError(f"state_dict mismatch: missing {want - have}, "
                              f"unexpected {have - want}")
         self._set_params(unflatten_dict(
-            {tuple(k.split("/")): jnp.asarray(v) for k, v in sd.items()}))
+            {tuple(k.split("/")): jnp.asarray(np.asarray(v))
+             for k, v in sd.items()}))
         return self
 
     def _load_from_state_dict(self, state_dict, prefix, local_metadata,
@@ -258,13 +263,15 @@ class UNet(torch.nn.Module):
 
         flat = flatten_dict(self._params)
         sub, missing = {}, []
-        for k in flat:
+        for k, cur in flat.items():
             name = prefix + "/".join(k)
             if name in state_dict:
-                sub[k] = jnp.asarray(state_dict[name])
+                sub[k] = jnp.asarray(np.asarray(state_dict[name]))
             else:
+                # torch strict=False semantics: load the present subset,
+                # keep current values for (reported-)missing keys
                 missing.append(name)
-        if missing:
-            missing_keys.extend(missing)
-            return
-        self._set_params(unflatten_dict(sub))
+                sub[k] = cur
+        missing_keys.extend(missing)
+        if len(missing) < len(flat):
+            self._set_params(unflatten_dict(sub))

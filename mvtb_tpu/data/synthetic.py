@@ -220,8 +220,11 @@ def generate_pool(seed: int, pool: int, channels: int,
     import hashlib
     import inspect
 
-    gen_tag = hashlib.sha1(
-        inspect.getsource(_GENERATORS[kind]).encode()).hexdigest()[:10]
+    try:
+        gen_src = inspect.getsource(_GENERATORS[kind])
+    except (OSError, TypeError):  # pyc-only installs, partials, REPL defs
+        gen_src = repr(_GENERATORS[kind])
+    gen_tag = hashlib.sha1(gen_src.encode()).hexdigest()[:10]
     key = (f"{kind}_s{seed}_n{pool}_c{channels}_"
            f"{'x'.join(map(str, spatial))}_k{n_classes}_g{gen_tag}")
     path = os.path.join(cache_dir, key + ".npz") if cache_dir else None

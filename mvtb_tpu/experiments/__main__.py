@@ -22,7 +22,7 @@ def main(argv=None) -> int:
 
     sub.add_parser("list", help="list registry experiment names")
 
-    for cmd in ("run", "domain"):
+    for cmd in ("run", "domain"):  # --mitigated validated below (GAN-only)
         p = sub.add_parser(cmd, help=f"{cmd} an experiment")
         p.add_argument("name")
         p.add_argument("--epochs", type=int, default=None)
@@ -55,13 +55,20 @@ def main(argv=None) -> int:
     fn = run_domain_experiment if args.cmd == "domain" else run
     kwargs = {}
     target = args.name
+    if args.cmd == "domain" and args.mitigated:
+        parser.error("--mitigated is only supported with the 'run' command")
     if args.cmd == "run":
         kwargs = {"fast": args.fast, "chunked": args.chunked,
                   "ckpt_every": args.ckpt_every}
         if args.mitigated:
             from mvtb_tpu.experiments.registry import get as get_cfg, mitigated
 
-            target = mitigated(get_cfg(args.name))
+            base = get_cfg(args.name)
+            if base.kind not in ("dcgan", "recon_gan", "recon_gan_freq",
+                                 "gibbs_gan"):
+                parser.error(f"--mitigated applies to GAN configs only "
+                             f"({args.name} is kind={base.kind!r})")
+            target = mitigated(base)
     result = fn(target, epochs=args.epochs, steps_per_epoch=args.steps,
                 seed=args.seed, workdir=args.workdir, verbose=not args.quiet,
                 **kwargs)

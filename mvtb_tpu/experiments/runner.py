@@ -458,7 +458,7 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         d_state = create_gan_state(
             jax.random.fold_in(key, 1), d,
             (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,),
-            lr=cfg.gan_d_lr or cfg.gan_lr, beta1=cfg.gan_beta1)
+            lr=cfg.gan_lr if cfg.gan_d_lr is None else cfg.gan_d_lr, beta1=cfg.gan_beta1)
         chunk_fn = make_dcgan_chunk_fn(cfg.nz,
                                        real_label=cfg.gan_real_label)
         curve_keys = ("g_loss", "d_loss", "D_x", "D_G_z1", "D_G_z2")
@@ -470,7 +470,7 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         g_state = create_gan_state(key, g, shape, lr=cfg.gan_lr,
                                    beta1=cfg.gan_beta1, train_kwarg=False)
         d_state = create_gan_state(jax.random.fold_in(key, 1), d, shape,
-                                   lr=cfg.gan_d_lr or cfg.gan_lr,
+                                   lr=cfg.gan_lr if cfg.gan_d_lr is None else cfg.gan_d_lr,
                                    beta1=cfg.gan_beta1, train_kwarg=False)
         chunk_fn = make_recon_gan_chunk_fn(
             cfg.zf_p, cfg.cyclic_alpha, cfg.cyclic_gamma,
@@ -496,6 +496,7 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     for _ in range(start_epoch):
         rng.randint(0, pool, (steps_per_epoch, cfg.batch_size))
     base_key = jax.random.key(seed + 1)  # per-epoch fold_in: RNG-exact resume
+    fid_reals = None  # built once at the first FID checkpoint, then reused
 
     t0 = time.time()
     for epoch in range(start_epoch, epochs):
@@ -521,8 +522,10 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                 # last point and result["fid"] are directly comparable.
                 from mvtb_tpu.eval.fid import dcgan_fid
 
+                if fid_reals is None:
+                    fid_reals = _fid_reals(cfg, seed)
                 fid_now = float(dcgan_fid(
-                    g_state, d_state, _fid_reals(cfg, seed),
+                    g_state, d_state, fid_reals,
                     jax.random.key(777), nz=cfg.nz))
                 history.setdefault("fid", []).append(fid_now)
                 history.setdefault("fid_epochs", []).append(epoch + 1)
@@ -541,7 +544,9 @@ def _run_gan_chunked(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     if cfg.kind == "dcgan":
         from mvtb_tpu.eval.fid import dcgan_fid
 
-        fid = dcgan_fid(g_state, d_state, _fid_reals(cfg, seed),
+        if fid_reals is None:
+            fid_reals = _fid_reals(cfg, seed)
+        fid = dcgan_fid(g_state, d_state, fid_reals,
                         jax.random.key(777), nz=cfg.nz)
         log(f"[{cfg.name}] frozen-encoder FID {fid:.2f}")
         result["fid"] = fid
@@ -644,21 +649,22 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
         d_state = create_gan_state(
             jax.random.fold_in(key, 1), d,
             (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,),
-            lr=cfg.gan_d_lr or cfg.gan_lr, beta1=cfg.gan_beta1)
+            lr=cfg.gan_lr if cfg.gan_d_lr is None else cfg.gan_d_lr, beta1=cfg.gan_beta1)
         for epoch in range(epochs):
             for _ in range(steps_per_epoch):
                 real = jnp.asarray(next(data_it))
                 key, kz = jax.random.split(key)
                 z = jax.random.normal(kz, (real.shape[0], 1, 1, cfg.nz))
-                g_state, d_state, m = dcgan_step(g_state, d_state, real, z)
+                g_state, d_state, m = dcgan_step(
+                    g_state, d_state, real, z,
+                    real_label=cfg.gan_real_label)
                 history["g_loss"].append(float(m["g_loss"]))
                 history["d_loss"].append(float(m["d_loss"]))
             log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "
                 f"G {history['g_loss'][-1]:.3f} D {history['d_loss'][-1]:.3f}")
         from mvtb_tpu.eval.fid import dcgan_fid
 
-        fid = dcgan_fid(g_state, d_state,
-                        [next(data_it) for _ in range(4)],
+        fid = dcgan_fid(g_state, d_state, _fid_reals(cfg, seed),
                         jax.random.key(777), nz=cfg.nz)
         log(f"[{cfg.name}] frozen-encoder FID {fid:.2f}")
         if workdir:
@@ -682,9 +688,10 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
     shape = (cfg.batch_size,) + cfg.spatial + (cfg.in_channels,)
     g_state = create_gan_state(key, g, shape, lr=cfg.gan_lr,
                                beta1=cfg.gan_beta1, train_kwarg=False)
-    d_state = create_gan_state(jax.random.fold_in(key, 1), d, shape,
-                               lr=cfg.gan_lr, beta1=cfg.gan_beta1,
-                               train_kwarg=False)
+    d_state = create_gan_state(
+        jax.random.fold_in(key, 1), d, shape,
+        lr=cfg.gan_lr if cfg.gan_d_lr is None else cfg.gan_d_lr,
+        beta1=cfg.gan_beta1, train_kwarg=False)
     freq = cfg.kind in ("recon_gan_freq", "gibbs_gan")
     compress_kind = "gibbs" if cfg.kind == "gibbs_gan" else "zf"
     for epoch in range(epochs):
@@ -695,7 +702,8 @@ def _run_gan(cfg: ExperimentConfig, steps_per_epoch: int, epochs: int,
                 g_state, d_state, real, sub, zf_p=cfg.zf_p,
                 alpha=cfg.cyclic_alpha, gamma=cfg.cyclic_gamma,
                 freq_domain=freq, compress_kind=compress_kind,
-                pre_corrupt_real=(cfg.kind == "gibbs_gan"))
+                pre_corrupt_real=(cfg.kind == "gibbs_gan"),
+                real_label=cfg.gan_real_label)
             history["g_loss"].append(float(m["g_loss"]))
             history["d_loss"].append(float(m["d_loss"]))
         log(f"[{cfg.name}] epoch {epoch + 1}/{epochs} "

@@ -423,9 +423,11 @@ def test_gd_family_runs_verbatim(tmp_path):
     # fresh model (save the FINAL state so the forwards must agree)
     torch.save(model.state_dict(), os.path.join(tmp_path, "gd_final.pth"))
     fresh = Gibbs_UNet(float(model.gibbs.alpha))
-    fresh.load_state_dict(
-        torch.load(os.path.join(tmp_path, "gd_final.pth"),
-                   weights_only=False))
+    # bare torch.load, exactly as the reference's load paths call it —
+    # the facade's state_dict emits torch tensors so the torch>=2.6
+    # weights_only=True default accepts the pickle
+    fresh.load_state_dict(torch.load(os.path.join(tmp_path,
+                                                  "gd_final.pth")))
     x = torch.as_tensor(batches[0]["image"])
     np.testing.assert_allclose(np.asarray(fresh(x)),
                                np.asarray(model(x)), rtol=2e-4, atol=1e-5)
