@@ -53,6 +53,11 @@ N_PER_HOSPITAL = int(os.environ.get("N_PER_HOSPITAL", "16"))
 DISK_R = float(os.environ.get("DISK_R", "12.5"))
 OUTDIR = os.environ.get("OUTDIR", "reports/holdout_hospital")
 SEED = int(os.environ.get("SEED", "0"))
+# comma list of training arms: baseline, gibbs (disk_r=DISK_R), spikes
+# (intensity 10 point write — does NOT remove the hospital band: negative
+# control), sap (p=0.15 image-domain impulse — also leaves the band:
+# second negative control)
+FAMILIES = [f for f in os.environ.get("FAMILIES", "baseline,gibbs").split(",") if f]
 
 HOSPITALS = ["hospital_A", "hospital_B", "hospital_C"]
 
@@ -133,10 +138,18 @@ def main() -> None:
           flush=True)
     pool_i, pool_l = jnp.asarray(tr_i), jnp.asarray(tr_l)
 
-    sty = StylizeConfig(disk_r=DISK_R, disk_prob=1.0)
+    arm_cfgs = {
+        "baseline": ("baseline", None),
+        "gibbs": (f"gibbs{DISK_R}",
+                  StylizeConfig(disk_r=DISK_R, disk_prob=1.0)),
+        "spikes": ("spikes10",
+                   StylizeConfig(spike=True, spike_range=(10.0, 10.0),
+                                 spike_prob=1.0)),
+        "sap": ("sap0p15", StylizeConfig(sap_p=0.15, sap_prob=1.0)),
+    }
     results, histories = {}, {}
     key = jax.random.key(SEED + 1)
-    for name, train_sty in [("baseline", None), (f"gibbs{DISK_R}", sty)]:
+    for name, train_sty in [arm_cfgs[f] for f in FAMILIES]:
         key, sub = jax.random.split(key)
         state, histories[name] = _train(name, train_sty, pool_i, pool_l, sub)
         eval_dict, clean_dict = {}, {}
@@ -155,15 +168,19 @@ def main() -> None:
               f"{gap['holdout']:.4f} gap {gap['gap']:.4f} "
               f"(normalized {gap['normalized_gap']:.3f})", flush=True)
 
-    base_g = results["baseline"]["gap"]
-    styl_g = results[f"gibbs{DISK_R}"]["gap"]
-    effect = {
-        "baseline_gap": base_g["gap"],
-        "stylized_gap": styl_g["gap"],
-        "gap_shrunk": bool(styl_g["gap"] < base_g["gap"]),
-        "baseline_normalized_gap": base_g["normalized_gap"],
-        "stylized_normalized_gap": styl_g["normalized_gap"],
-    }
+    effect = {name: {"gap": r["gap"]["gap"],
+                     "normalized_gap": r["gap"]["normalized_gap"]}
+              for name, r in results.items()}
+    if "baseline" in results and f"gibbs{DISK_R}" in results:
+        base_g = results["baseline"]["gap"]
+        styl_g = results[f"gibbs{DISK_R}"]["gap"]
+        effect.update({
+            "baseline_gap": base_g["gap"],
+            "stylized_gap": styl_g["gap"],
+            "gap_shrunk": bool(styl_g["gap"] < base_g["gap"]),
+            "baseline_normalized_gap": base_g["normalized_gap"],
+            "stylized_normalized_gap": styl_g["normalized_gap"],
+        })
     out = {"spatial": SPATIAL, "steps": STEPS, "batch": BATCH,
            "n_per_hospital": N_PER_HOSPITAL, "disk_r": DISK_R, "seed": SEED,
            "results": results, "effect": effect, "histories": histories,
@@ -171,8 +188,8 @@ def main() -> None:
     path = os.path.join(OUTDIR, "holdout_hospital.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print(f"wrote {path}; gap {base_g['gap']:.4f} -> {styl_g['gap']:.4f} "
-          f"(shrunk: {effect['gap_shrunk']})")
+    print(f"wrote {path}; gaps: " + ", ".join(
+        f"{n} {r['gap']['gap']:+.4f}" for n, r in results.items()))
 
 
 if __name__ == "__main__":
