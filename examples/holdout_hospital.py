@@ -138,26 +138,36 @@ def main() -> None:
           flush=True)
     pool_i, pool_l = jnp.asarray(tr_i), jnp.asarray(tr_l)
 
+    # (name, train-time stylize, eval-protocol stylize). Stylization arms
+    # keep the corruption in the val pipeline (reference protocol); the
+    # AUGMENTATION arm mirrors the reference's 30_augmentation family
+    # (RandGibbsNoised("image", 0.1, alpha=(0., 0.4)),
+    # baseline_domain_augment_alpha0p4.py:118) and is evaluated CLEAN.
+    aug = StylizeConfig(gibbs_alpha=(0.0, 0.4), gibbs_prob=0.1)
     arm_cfgs = {
-        "baseline": ("baseline", None),
+        "baseline": ("baseline", None, None),
         "gibbs": (f"gibbs{DISK_R}",
-                  StylizeConfig(disk_r=DISK_R, disk_prob=1.0)),
+                  StylizeConfig(disk_r=DISK_R, disk_prob=1.0), "same"),
         "spikes": ("spikes10",
                    StylizeConfig(spike=True, spike_range=(10.0, 10.0),
-                                 spike_prob=1.0)),
-        "sap": ("sap0p15", StylizeConfig(sap_p=0.15, sap_prob=1.0)),
+                                 spike_prob=1.0), "same"),
+        "sap": ("sap0p15", StylizeConfig(sap_p=0.15, sap_prob=1.0), "same"),
+        "gibbs_aug": ("gibbs_aug0p4", aug, None),
     }
     results, histories = {}, {}
     key = jax.random.key(SEED + 1)
-    for name, train_sty in [arm_cfgs[f] for f in FAMILIES]:
+    for name, train_sty, eval_mode in [arm_cfgs[f] for f in FAMILIES]:
+        eval_sty = train_sty if eval_mode == "same" else None
         key, sub = jax.random.split(key)
         state, histories[name] = _train(name, train_sty, pool_i, pool_l, sub)
         eval_dict, clean_dict = {}, {}
         for hospital, (vi, vl) in val_sets.items():
             # protocol eval: the model's own val pipeline (disk mask included
-            # for the stylized model, as in the reference's val_transform)
-            eval_dict[hospital] = _evaluate(state, vi, vl, cfg=train_sty)
-            clean_dict[hospital] = (eval_dict[hospital] if train_sty is None
+            # for the stylized model, as in the reference's val_transform;
+            # augmentation arms evaluate clean, as the reference's
+            # 30_augmentation scripts do)
+            eval_dict[hospital] = _evaluate(state, vi, vl, cfg=eval_sty)
+            clean_dict[hospital] = (eval_dict[hospital] if eval_sty is None
                                     else _evaluate(state, vi, vl))
             print(f"eval {name} on {hospital}: {eval_dict[hospital]:.4f} "
                   f"(clean diagnostic {clean_dict[hospital]:.4f})", flush=True)
